@@ -1,0 +1,207 @@
+"""The BmSparse container — TPU-native restatement of `bmSpMatrix<T>`.
+
+Reference layout (include/bmSpMatrix.h:20-40): four parallel device arrays
+``keys: u64``, ``bmps: u64``, ``offsets: u64``, ``values: T`` plus dims.
+Here the 64-bit quantities are split for TPU lanes:
+
+  * ``brow, bcol : int32[nb]``   — block coordinates; together they are the
+    reference's ``key = (block_row << 32) | block_col``
+    (ref: src/bmSpMatrix.cu:76-83), kept sorted lexicographically by
+    (brow, bcol) — plain row-major block order.
+  * ``bmp_hi, bmp_lo : uint32[nb]`` — the 8x8 occupancy bitmap
+    (see format/bitmap.py for the bit convention).
+  * ``offsets : int32[nb]``      — exclusive prefix sum of per-block nnz
+    (ref: src/bmSpMatrix.cu:180-194).
+  * ``values : dtype[nnz]``      — nonzeros packed block-by-block in
+    bitmap-bit order (ref: src/bmSpMatrix.cu:163-172).
+
+Padding convention (TPU/jit-specific, no reference analogue): arrays may be
+padded past ``nb_valid`` blocks / ``nnz`` values. Padding blocks carry
+``bmp == 0`` and clamped offsets; a zero bitmap decompresses to an all-zero
+dense block, so padded blocks are identity elements in every kernel — no
+masks needed on the compute paths. ``brow``/``bcol`` of padding blocks are
+set past the last valid block coordinate so sorted order is preserved.
+
+The container is a registered pytree, so it flows through jit / vmap /
+shard_map unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BLOCK_HEIGHT, BLOCK_WIDTH
+from . import bitmap as bm
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BmSparse:
+    """Bitmap-sparse matrix in 8x8-block compressed form."""
+
+    brow: jax.Array     # int32[nb_pad]
+    bcol: jax.Array     # int32[nb_pad]
+    bmp_hi: jax.Array   # uint32[nb_pad]
+    bmp_lo: jax.Array   # uint32[nb_pad]
+    offsets: jax.Array  # int32[nb_pad]
+    values: jax.Array   # dtype[nnz_pad]
+    # Number of valid (non-padding) blocks, as a traced scalar so the
+    # container stays jit-transparent. Equals nb_pad when unpadded.
+    nb: jax.Array       # int32[] — dataclasses field, still a leaf
+
+    # --- static metadata ---
+    num_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
+    num_cols: int = dataclasses.field(metadata=dict(static=True), default=0)
+    nnz: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # True when intra-block layout is column-major (the B operand of SpGEMM;
+    # ref: src/bmSpMatrix.cu:91-95).
+    transposed: bool = dataclasses.field(metadata=dict(static=True), default=False)
+
+    # ------------------------------------------------------------------
+    @property
+    def nb_pad(self) -> int:
+        return self.brow.shape[0]
+
+    @property
+    def nnz_pad(self) -> int:
+        return self.values.shape[0]
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def block_rows(self) -> int:
+        """Number of block rows covering the matrix."""
+        return cdiv(self.num_rows, BLOCK_HEIGHT)
+
+    @property
+    def block_cols(self) -> int:
+        return cdiv(self.num_cols, BLOCK_WIDTH)
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.num_rows, self.num_cols)
+
+    # ------------------------------------------------------------------
+    def block_nnz(self) -> jax.Array:
+        """Per-block nonzero count (popcount of the bitmap)."""
+        return bm.popcount(self.bmp_hi, self.bmp_lo)
+
+    def decompress_blocks(self, dtype=None) -> jax.Array:
+        """Expand packed values into dense 8x8 tiles: (nb_pad, 8, 8).
+
+        The TPU-native replacement for the reference's in-kernel
+        prefix-popcount ``shmem_load`` (ref: src/bmSparse_SPGEMM.cu:152-162):
+        instead of decompressing per warp per use, decompress once into
+        MXU/VPU-ready dense tiles. Zero-bitmap (padding) blocks yield zero
+        tiles. Output is always logically [rel_i, rel_j] row-major.
+        """
+        bits = bm.expand_bits(self.bmp_hi, self.bmp_lo)        # (nb, 64)
+        slot = bm.prefix_popcount(bits)                        # (nb, 64)
+        idx = jnp.clip(self.offsets[:, None] + slot, 0, self.nnz_pad - 1)
+        vals = jnp.take(self.values, idx, axis=0)              # (nb, 64)
+        dense = jnp.where(bits > 0, vals, jnp.zeros((), self.values.dtype))
+        dense = bm.bits_to_dense_bool(dense, self.transposed)  # reuse reshape
+        if dtype is not None:
+            dense = dense.astype(dtype)
+        return dense
+
+    def valid_mask(self) -> jax.Array:
+        return jnp.arange(self.nb_pad, dtype=jnp.int32) < self.nb
+
+    # ------------------------------------------------------------------
+    def pad_to(self, nb_pad: int, nnz_pad: int | None = None) -> "BmSparse":
+        """Grow (never shrink) padding. Padding blocks get bmp=0 and block
+        coordinates past the matrix so sorted order is kept."""
+        if nb_pad < self.nb_pad:
+            raise ValueError(f"cannot shrink nb_pad {self.nb_pad} -> {nb_pad}")
+        extra = nb_pad - self.nb_pad
+        sentinel_row = jnp.int32(self.block_rows)  # one past last valid brow
+        brow = jnp.concatenate([self.brow, jnp.full((extra,), sentinel_row)])
+        bcol = jnp.concatenate([self.bcol, jnp.zeros((extra,), jnp.int32)])
+        zeros = jnp.zeros((extra,), jnp.uint32)
+        off_pad = jnp.full((extra,), max(self.nnz_pad - 1, 0), jnp.int32)
+        values = self.values
+        if nnz_pad is not None and nnz_pad > self.nnz_pad:
+            values = jnp.concatenate(
+                [values, jnp.zeros((nnz_pad - self.nnz_pad,), values.dtype)]
+            )
+        return dataclasses.replace(
+            self,
+            brow=brow,
+            bcol=bcol,
+            bmp_hi=jnp.concatenate([self.bmp_hi, zeros]),
+            bmp_lo=jnp.concatenate([self.bmp_lo, zeros]),
+            offsets=jnp.concatenate([self.offsets, off_pad]),
+            values=values,
+        )
+
+    def astype(self, dtype) -> "BmSparse":
+        return dataclasses.replace(self, values=self.values.astype(dtype))
+
+    # ------------------------------------------------------------------
+    def generate_coo(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decompress to host COO (rows, cols, values) — the verification
+        path of the reference (`generate_coo`, ref: src/bmSpMatrix.cu:320-363).
+
+        Returns arrays of length == true nnz, sorted by (row, col).
+        """
+        nb = int(self.nb)
+        brow = np.asarray(self.brow)[:nb]
+        bcol = np.asarray(self.bcol)[:nb]
+        hi = np.asarray(self.bmp_hi)[:nb].astype(np.uint64)
+        lo = np.asarray(self.bmp_lo)[:nb].astype(np.uint64)
+        offsets = np.asarray(self.offsets)[:nb]
+        values = np.asarray(self.values)
+
+        bmp = (hi << np.uint64(32)) | lo
+        addr = np.arange(64, dtype=np.uint64)
+        bits = ((bmp[:, None] >> (np.uint64(63) - addr)) & np.uint64(1)).astype(np.int64)
+        slot = np.cumsum(bits, axis=1) - bits
+        if self.transposed:
+            rel_j, rel_i = np.divmod(np.arange(64), 8)
+        else:
+            rel_i, rel_j = np.divmod(np.arange(64), 8)
+        kk, aa = np.nonzero(bits)
+        rows = brow[kk] * BLOCK_HEIGHT + rel_i[aa]
+        cols = bcol[kk] * BLOCK_WIDTH + rel_j[aa]
+        vals = values[offsets[kk] + slot[kk, aa]]
+        order = np.lexsort((cols, rows))
+        return rows[order], cols[order], vals[order].astype(np.float64)
+
+    def to_scipy(self):
+        """Dense oracle interop: return a scipy.sparse.coo_matrix."""
+        import scipy.sparse as sp
+
+        r, c, v = self.generate_coo()
+        return sp.coo_matrix((v, (r, c)), shape=self.shape)
+
+    # ------------------------------------------------------------------
+    def compare(self, oracle, verbose: bool = False) -> float:
+        """Mean relative error against an oracle matrix — the reference's
+        `compare` (ref: src/bmSpMatrix.cu:381-432). See oracle/compare.py."""
+        from ..oracle.compare import mean_relative_error
+
+        return mean_relative_error(self, oracle, verbose=verbose)
+
+    def __repr__(self) -> str:  # keep tracers printable
+        try:
+            nb = int(self.nb)
+        except Exception:
+            nb = -1
+        return (
+            f"BmSparse(shape={self.shape}, nnz={self.nnz}, blocks={nb}"
+            f"/{self.nb_pad}, dtype={self.values.dtype}, "
+            f"transposed={self.transposed})"
+        )

@@ -1,0 +1,222 @@
+"""COO / CSR <-> BmSparse conversion — the reference's format-construction
+pipeline (`bmSpMatrix(path, transposed)` ctor, ref: src/bmSpMatrix.cu:111-219)
+restated as jit-compiled XLA sort + segment primitives:
+
+  thrust::sort(block_order)        -> lax.sort with lexicographic int32 keys
+  transform(coord_to_key)          -> (brow, bcol) pair (no u64 on TPU)
+  reduce_by_key(keys, ones)        -> segment boundaries + segment_sum
+  exclusive_scan -> offsets        -> cumsum
+  reduce_by_key(coord_to_bmp, |)   -> segment_sum of one-hot bit words
+                                      (bits are disjoint, so + == OR)
+
+Everything runs on device with static shapes: the jitted core returns
+nnz-sized padded block arrays plus the true block count; `coo_to_bmsparse`
+optionally compacts on host (mirroring the reference's device->host
+`block_num` sync at src/bmSpMatrix.cu:192).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BLOCK_HEIGHT, BLOCK_WIDTH, bucket_size
+from . import bitmap as bm
+from .bmsparse import BmSparse, cdiv
+
+
+@partial(jax.jit, static_argnames=("transposed", "num_block_rows"))
+def _coo_to_bmsparse_core(
+    rows: jax.Array, cols: jax.Array, vals: jax.Array,
+    transposed: bool, num_block_rows: int,
+):
+    """Jitted conversion core. All outputs padded to nnz entries.
+
+    Returns (brow, bcol, bmp_hi, bmp_lo, offsets, values_sorted, nb) where
+    entries at index >= nb are padding (bmp == 0, brow == num_block_rows).
+    """
+    n = rows.shape[0]
+    brow_e = rows // BLOCK_HEIGHT
+    bcol_e = cols // BLOCK_WIDTH
+    rel_i = rows % BLOCK_HEIGHT
+    rel_j = cols % BLOCK_WIDTH
+
+    # Sort elements into block order, intra-block by bit address
+    # (ref block_order functor: src/bmSpMatrix.cu:46-74 — row-major
+    # (row, col) normally, (col, row) when transposed).
+    intra = (rel_j * 8 + rel_i) if transposed else (rel_i * 8 + rel_j)
+    (_, _, _, rows_s, cols_s, vals_s) = jax.lax.sort(
+        (brow_e, bcol_e, intra.astype(jnp.int32), rows, cols, vals),
+        num_keys=3,
+    )
+
+    brow_s = rows_s // BLOCK_HEIGHT
+    bcol_s = cols_s // BLOCK_WIDTH
+    # Segment ids: new segment whenever the block key changes
+    # (reduce_by_key analogue).
+    same = jnp.logical_and(
+        brow_s[1:] == brow_s[:-1], bcol_s[1:] == bcol_s[:-1]
+    )
+    new_block = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), 1 - same.astype(jnp.int32)]
+    )
+    seg = jnp.cumsum(new_block) - 1              # (n,) block index per elem
+    nb = seg[-1] + 1 if n > 0 else jnp.int32(0)
+
+    # Per-block key arrays: scatter first-element-of-segment -> position seg.
+    brow_b = jnp.full((n,), num_block_rows, jnp.int32).at[seg].set(brow_s.astype(jnp.int32))
+    bcol_b = jnp.zeros((n,), jnp.int32).at[seg].set(bcol_s.astype(jnp.int32))
+
+    # Per-block nnz and offsets (exclusive scan; ref: src/bmSpMatrix.cu:190).
+    counts = jax.ops.segment_sum(
+        jnp.ones((n,), jnp.int32), seg, num_segments=n
+    )
+    offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    # Clamp padding offsets into range so padded decompression stays in-bounds.
+    offsets = jnp.where(
+        jnp.arange(n) < nb, offsets, jnp.maximum(n - 1, 0)
+    ).astype(jnp.int32)
+
+    # Bitmaps: OR of one-hot words per block. Bits are distinct within a
+    # block (no duplicate coordinates), so segment_sum == OR
+    # (ref coord_to_bmp + bmp_sum: src/bmSpMatrix.cu:85-109).
+    e_hi, e_lo = bm.coords_to_words(
+        (rows_s % BLOCK_HEIGHT).astype(jnp.int32),
+        (cols_s % BLOCK_WIDTH).astype(jnp.int32),
+        transposed,
+    )
+    bmp_hi = jax.ops.segment_sum(e_hi.astype(jnp.uint32), seg, num_segments=n)
+    bmp_lo = jax.ops.segment_sum(e_lo.astype(jnp.uint32), seg, num_segments=n)
+
+    return brow_b, bcol_b, bmp_hi, bmp_lo, offsets, vals_s, nb
+
+
+def coo_to_bmsparse(
+    rows,
+    cols,
+    vals,
+    shape: tuple[int, int],
+    transposed: bool = False,
+    compact: bool = True,
+    nb_pad: int | None = None,
+) -> BmSparse:
+    """Convert COO triplets to BmSparse.
+
+    Args:
+      rows, cols: int32 arrays of coordinates (0-based, no duplicates —
+        same precondition as the reference converter).
+      vals: value array (any float dtype).
+      shape: (num_rows, num_cols).
+      transposed: store intra-block column-major (for SpGEMM's B operand).
+      compact: if True, sync the block count to host and slice the arrays
+        to a bucketed exact size (like the reference's block_num sync). If
+        False, stays fully on-device with nnz-sized padding (jit-safe).
+      nb_pad: optional explicit padded block-array size (requires >= nb).
+    """
+    rows = jnp.asarray(rows, jnp.int32)
+    cols = jnp.asarray(cols, jnp.int32)
+    vals = jnp.asarray(vals)
+    n = int(rows.shape[0])
+    num_block_rows = cdiv(shape[0], BLOCK_HEIGHT)
+
+    brow, bcol, hi, lo, offsets, values, nb = _coo_to_bmsparse_core(
+        rows, cols, vals, transposed, num_block_rows
+    )
+
+    if compact:
+        nb_i = int(nb)
+        k = nb_pad if nb_pad is not None else min(bucket_size(nb_i), n)
+        k = max(k, nb_i)
+        if k < n:
+            brow, bcol, hi, lo, offsets = (
+                a[:k] for a in (brow, bcol, hi, lo, offsets)
+            )
+    elif nb_pad is not None:
+        raise ValueError("nb_pad requires compact=True")
+
+    return BmSparse(
+        brow=brow, bcol=bcol, bmp_hi=hi, bmp_lo=lo,
+        offsets=offsets, values=values, nb=nb,
+        num_rows=shape[0], num_cols=shape[1], nnz=n,
+        transposed=transposed,
+    )
+
+
+def bmsparse_to_coo(m: BmSparse):
+    """Host-side decompression (rows, cols, values) — see
+    BmSparse.generate_coo."""
+    return m.generate_coo()
+
+
+# ---------------------------------------------------------------------------
+# CSR — a real implementation of the reference's never-finished CSRMatrix
+# stub (ref: include/CSRMatrix.h:13-21) plus the CSR reference ops used as
+# the CPU-path oracle (BASELINE config 1).
+# ---------------------------------------------------------------------------
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CSRMatrix:
+    """Compressed-sparse-row matrix (device arrays, pytree)."""
+
+    indptr: jax.Array   # int32[num_rows + 1]
+    indices: jax.Array  # int32[nnz]
+    data: jax.Array     # dtype[nnz]
+    num_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
+    num_cols: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def nnz(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.num_rows, self.num_cols)
+
+    @classmethod
+    def from_scipy(cls, m) -> "CSRMatrix":
+        m = m.tocsr()
+        return cls(
+            indptr=jnp.asarray(m.indptr, jnp.int32),
+            indices=jnp.asarray(m.indices, jnp.int32),
+            data=jnp.asarray(m.data),
+            num_rows=m.shape[0],
+            num_cols=m.shape[1],
+        )
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        return sp.csr_matrix(
+            (np.asarray(self.data), np.asarray(self.indices),
+             np.asarray(self.indptr)),
+            shape=self.shape,
+        )
+
+    def row_ids(self) -> jax.Array:
+        """Expand indptr to one row id per nonzero (device-side)."""
+        counts = self.indptr[1:] - self.indptr[:-1]
+        return jnp.repeat(
+            jnp.arange(self.num_rows, dtype=jnp.int32),
+            counts,
+            total_repeat_length=self.nnz,
+        )
+
+
+def csr_to_bmsparse(csr: CSRMatrix, transposed: bool = False, **kw) -> BmSparse:
+    rows = csr.row_ids()
+    return coo_to_bmsparse(
+        rows, csr.indices, csr.data, csr.shape, transposed=transposed, **kw
+    )
+
+
+def bmsparse_to_csr(m: BmSparse) -> CSRMatrix:
+    r, c, v = m.generate_coo()
+    import scipy.sparse as sp
+
+    return CSRMatrix.from_scipy(
+        sp.csr_matrix((v, (r, c)), shape=m.shape).astype(np.asarray(m.values).dtype)
+    )

@@ -1,0 +1,88 @@
+"""MatrixMarket ingestion — the reference's file-loading path
+(`bmSpMatrix(path, transposed)` parse loop, ref: src/bmSpMatrix.cu:112-161,
+and CUSP's `cusp::io::read_matrix_market_file`).
+
+Parsing strategy, fastest available first:
+  1. native C extension `_mmparse` (C++-speed line parsing; the analogue of
+     the reference's C++ host parser / legacy `mmread_bmSparse`,
+     ref: src/reader.cu:49-110),
+  2. scipy.io.mmread (C-backed),
+with identical semantics: 1-based -> 0-based indices, `symmetric` header
+expands off-diagonal entries to both triangles (ref:
+src/bmSpMatrix.cu:133-149).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+try:  # native fast path (built via `make native` / pip install -e .)
+    from . import _mmparse  # type: ignore[attr-defined]
+
+    HAVE_NATIVE = True
+except ImportError:
+    _mmparse = None
+    HAVE_NATIVE = False
+
+
+def read_matrix_market(
+    path: str, dtype=np.float32, native: bool | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, tuple[int, int]]:
+    """Read a MatrixMarket coordinate file into COO triplets.
+
+    Returns (rows, cols, values, (num_rows, num_cols)) with int32 indices.
+    Symmetric/skew-symmetric/hermitian files are expanded to general form,
+    matching the reference's symmetric expansion (added entries appended
+    after the originals; order is irrelevant — conversion sorts).
+    """
+    if not os.path.exists(path) and os.path.exists(path + ".mtx"):
+        # The reference CLI appends ".mtx" to names (src/bmSparse_SPGEMM.cu:1261).
+        path = path + ".mtx"
+    use_native = HAVE_NATIVE if native is None else native
+    if use_native and _mmparse is not None:
+        rows, cols, vals, nr, nc, sym = _mmparse.parse(path)
+        rows = rows.astype(np.int32, copy=False)
+        cols = cols.astype(np.int32, copy=False)
+        vals = vals.astype(dtype, copy=False)
+        if sym:
+            off = rows != cols
+            r0, c0, v0 = rows, cols, vals
+            rows = np.concatenate([r0, c0[off]])
+            cols = np.concatenate([c0, r0[off]])
+            vals = np.concatenate([v0, v0[off]])
+        return rows, cols, vals, (nr, nc)
+
+    import scipy.io
+
+    m = scipy.io.mmread(path)  # already symmetric-expanded, 0-based
+    m = m.tocoo()
+    return (
+        m.row.astype(np.int32),
+        m.col.astype(np.int32),
+        np.asarray(m.data, dtype=dtype),
+        (m.shape[0], m.shape[1]),
+    )
+
+
+def write_matrix_market(path: str, rows, cols, vals, shape) -> None:
+    import scipy.io
+    import scipy.sparse as sp
+
+    scipy.io.mmwrite(path, sp.coo_matrix((vals, (rows, cols)), shape=shape))
+
+
+def mmread_bmsparse(
+    path: str,
+    transposed: bool = False,
+    dtype=np.float32,
+    **convert_kw,
+):
+    """File -> BmSparse in one call (the reference ctor's full pipeline)."""
+    from ..format.convert import coo_to_bmsparse
+
+    rows, cols, vals, shape = read_matrix_market(path, dtype=dtype)
+    return coo_to_bmsparse(
+        rows, cols, vals, shape, transposed=transposed, **convert_kw
+    )

@@ -1,0 +1,399 @@
+"""Sparse matrix - sparse matrix multiply C = A @ B on BmSparse.
+
+TPU-native restatement of the reference SpGEMM
+(`bmSparse_mult`, ref: src/bmSparse_SPGEMM.cu:827-1223). The reference's
+phases map as follows (phase labels T1..T6 follow SURVEY.md §2 #4):
+
+  T1  B blocks per block-row (reduce_by_key/is_same_row, ref :840-847)
+        -> segment_sum over B.brow
+  T2  per-A-block task counts (gather, ref :857-864)
+        -> take(B_row_count, A.bcol)
+  T3  task-list expansion (scan/scatter/task_creator, ref :875-932)
+        -> searchsorted over the task-offset table (O(T log nb), no
+           scatter chain needed)
+  T4  bitmap-product pruning (remove_if/multiplication_checker, ref :944-948)
+        -> structural product via int8 MXU matmul; zero-product tasks sort
+           to the tail and are sliced off (host path) or contribute exact
+           zeros (padded path)
+  T5  sort tasks by C key (thrust::sort | bb_segsort, ref :963-1016)
+        -> one lax.sort with lexicographic (row, col) int32 keys; replaces
+           both strategies and the BORDER=2,730,000 crossover (ref :53)
+  T6  C structure: keys, bitmaps (bmp_calculator OR-reduction), offsets,
+      nnz (ref :1031-1107)
+        -> segment ids + segment_sum of expanded bits + cumsum
+
+  numeric multiplyV11..V15 (ref :205-733) -> decompress-once dense 8x8
+      tiles + chunked batched block products + segment-sum accumulation
+      (see _numeric_xla; Pallas variant in ops/pallas/spgemm_kernel.py).
+      Like the reference's default tc_version=5 (the scalar variant,
+      ref :1230), the default here is the implementation that measures
+      fastest, selected per call via `impl`.
+
+Two entry points:
+  * `spgemm(A, B)`       — host-orchestrated: syncs the data-dependent
+    sizes (task count, C block count, C nnz) to host between jitted
+    stages, exactly where the reference does its D->H memcpys
+    (ref :1095,1106), with shape-bucketing to bound recompiles.
+  * `spgemm_padded(A, B, max_tasks, max_c_blocks, max_c_nnz)` — fully
+    jit-compatible with caller-supplied upper bounds (used by shard_map
+    multi-chip path and compile checks).
+
+Numerics: inputs any float dtype (reference uses fp16 -> TPU bf16),
+accumulation/output fp32 (ref OUTPUT_TYPE, src/bmSparse_SPGEMM.cu:51).
+C's structure is the *structural* product — numerically-cancelled entries
+are stored as explicit zeros, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BLOCK_HEIGHT, BLOCK_WIDTH, bucket_size, get_config
+from ..format import bitmap as bm
+from ..format.bmsparse import BmSparse
+from ..utils.timing import PhaseTimer
+
+_NUMERIC_CHUNK = 1 << 16  # tasks per scan step in the numeric phase
+
+
+def _check_operands(a: BmSparse, b: BmSparse) -> None:
+    if a.num_cols != b.num_rows:
+        raise ValueError(f"inner dims mismatch: {a.shape} @ {b.shape}")
+    if a.transposed:
+        raise ValueError("A must be stored untransposed (row-major blocks)")
+    # B may be stored either way; transposed is the fast layout the
+    # reference uses (ref: src/bmSparse_SPGEMM.cu:1262), but decompression
+    # normalizes, so both work.
+
+
+# ---------------------------------------------------------------------------
+# T1 + T2: task counting
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("num_b_block_rows",))
+def _task_counts(a: BmSparse, b: BmSparse, num_b_block_rows: int):
+    """Per-A-block task counts + exclusive offsets + total (traced)."""
+    b_valid = ((b.bmp_hi | b.bmp_lo) != 0).astype(jnp.int32)
+    b_row_count = jax.ops.segment_sum(
+        b_valid, b.brow, num_segments=num_b_block_rows
+    )                                                   # T1
+    b_row_start = jnp.cumsum(b_row_count) - b_row_count
+    a_valid = (a.bmp_hi | a.bmp_lo) != 0
+    bcol = jnp.clip(a.bcol, 0, num_b_block_rows - 1)
+    cnt = jnp.where(a_valid, jnp.take(b_row_count, bcol), 0)  # T2
+    offs = jnp.cumsum(cnt) - cnt
+    total = offs[-1] + cnt[-1] if cnt.shape[0] else jnp.int32(0)
+    return cnt.astype(jnp.int32), offs.astype(jnp.int32), b_row_start.astype(jnp.int32), total
+
+
+# ---------------------------------------------------------------------------
+# T3 + T4 + T5: task list construction, pruning, sort by C key
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("num_tasks", "c_row_sentinel"))
+def _build_tasks(
+    a: BmSparse,
+    b: BmSparse,
+    task_offs: jax.Array,
+    b_row_start: jax.Array,
+    total: jax.Array,
+    num_tasks: int,
+    c_row_sentinel: int,
+):
+    """Materialize the (padded) task list sorted by C key, pruned tasks and
+    padding at the tail.
+
+    Returns (a_idx, b_idx, ck_row, ck_col, nz_total) where task t multiplies
+    A block a_idx[t] by B block b_idx[t] into C block (ck_row, ck_col)[t].
+    Tasks with an all-zero structural product (pruned by the reference's
+    multiplication_checker) and padding tasks carry ck_row == sentinel and
+    sort last; nz_total counts surviving tasks.
+    """
+    t = jnp.arange(num_tasks, dtype=jnp.int32)
+    valid = t < total
+    # T3: invert the offset table. task_offs is non-decreasing.
+    a_idx = jnp.searchsorted(task_offs, t, side="right").astype(jnp.int32) - 1
+    a_idx = jnp.clip(a_idx, 0, a.nb_pad - 1)
+    within = t - jnp.take(task_offs, a_idx)
+    bcol = jnp.take(a.bcol, a_idx)
+    b_idx = jnp.take(b_row_start, jnp.clip(bcol, 0, b_row_start.shape[0] - 1)) + within
+    b_idx = jnp.clip(b_idx, 0, b.nb_pad - 1)
+
+    # T4: structural block product (bmp_calculator); zero product => prune.
+    ph, pl = bm.bitmap_product(
+        jnp.take(a.bmp_hi, a_idx), jnp.take(a.bmp_lo, a_idx),
+        jnp.take(b.bmp_hi, b_idx), jnp.take(b.bmp_lo, b_idx),
+        b_transposed=b.transposed,
+    )
+    alive = valid & ((ph | pl) != 0)
+
+    # C key (task_elem_to_C_key, ref :111-119): (A block-row, B block-col).
+    ck_row = jnp.where(alive, jnp.take(a.brow, a_idx), jnp.int32(c_row_sentinel))
+    ck_col = jnp.where(alive, jnp.take(b.bcol, b_idx), jnp.int32(0))
+
+    # T5: single lexicographic sort replaces thrust::sort/bb_segsort.
+    ck_row, ck_col, a_idx, b_idx = jax.lax.sort(
+        (ck_row, ck_col, a_idx, b_idx), num_keys=2
+    )
+    nz_total = jnp.sum(alive.astype(jnp.int32))
+    return a_idx, b_idx, ck_row, ck_col, nz_total
+
+
+# ---------------------------------------------------------------------------
+# T6: C symbolic structure from the sorted task list
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("c_row_sentinel",))
+def _c_symbolic(
+    a: BmSparse, b: BmSparse,
+    a_idx: jax.Array, b_idx: jax.Array,
+    ck_row: jax.Array, ck_col: jax.Array,
+    c_row_sentinel: int,
+):
+    """C block keys, bitmaps, offsets from sorted tasks.
+
+    Returns (c_seg, cbrow, cbcol, c_hi, c_lo, c_offsets, nbc, nnzc); arrays
+    sized num_tasks (an upper bound on C's block count), padding past nbc.
+    """
+    nt = a_idx.shape[0]
+    alive = ck_row != c_row_sentinel
+    same = (ck_row[1:] == ck_row[:-1]) & (ck_col[1:] == ck_col[:-1])
+    new = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), 1 - same.astype(jnp.int32)]
+    )
+    # Dead/padding tasks share the sentinel key and collapse into one
+    # trailing segment; exclude them from the block count.
+    c_seg = jnp.cumsum(new) - 1
+    nbc = jnp.max(jnp.where(alive, c_seg + 1, 0)) if nt else jnp.int32(0)
+
+    cbrow = jnp.full((nt,), c_row_sentinel, jnp.int32).at[c_seg].set(ck_row)
+    cbcol = jnp.zeros((nt,), jnp.int32).at[c_seg].set(ck_col)
+
+    # C bitmap = OR over the segment's task products (bmp_calculator +
+    # bmp_sum reduce_by_key, ref :1067-1083). OR of bits == (sum > 0).
+    ph, pl = bm.bitmap_product(
+        jnp.take(a.bmp_hi, a_idx), jnp.take(a.bmp_lo, a_idx),
+        jnp.take(b.bmp_hi, b_idx), jnp.take(b.bmp_lo, b_idx),
+        b_transposed=b.transposed,
+    )
+    bits = bm.expand_bits(ph, pl)                       # (nt, 64)
+    bits = jnp.where(alive[:, None], bits, 0)
+    c_bits = (
+        jax.ops.segment_sum(bits, c_seg, num_segments=nt) > 0
+    ).astype(jnp.int32)
+    c_hi, c_lo = bm.pack_bits(c_bits)
+
+    # offsets / nnz (popcount + exclusive_scan, ref :1086-1107).
+    cnt = jnp.sum(c_bits, axis=1, dtype=jnp.int32)
+    c_offsets = (jnp.cumsum(cnt) - cnt).astype(jnp.int32)
+    nnzc = c_offsets[-1] + cnt[-1] if nt else jnp.int32(0)
+    c_offsets = jnp.where(
+        jnp.arange(nt) < nbc, c_offsets, jnp.maximum(nnzc - 1, 0)
+    ).astype(jnp.int32)
+    return c_seg, cbrow, cbcol, c_hi, c_lo, c_offsets, nbc, nnzc
+
+
+# ---------------------------------------------------------------------------
+# Numeric phase
+# ---------------------------------------------------------------------------
+def _numeric_xla(
+    a_dense: jax.Array, b_dense: jax.Array,
+    a_idx: jax.Array, b_idx: jax.Array, c_seg: jax.Array,
+    num_c_blocks: int,
+):
+    """Chunked batched 8x8 block products accumulated per C block.
+
+    The TPU analogue of multiplyV15's scalar FMA loop (ref :205-291):
+    gather dense tiles, batched matmul in fp32, segment-sum by C block.
+    lax.scan over fixed-size task chunks bounds peak memory the way the
+    reference's TASK_BUFFER staging does (ref :343,358).
+    """
+    nt = a_idx.shape[0]
+    chunk = min(_NUMERIC_CHUNK, nt)
+    nchunks = -(-nt // chunk)
+    pad = nchunks * chunk - nt
+    if pad:
+        a_idx = jnp.concatenate([a_idx, jnp.zeros((pad,), jnp.int32)])
+        b_idx = jnp.concatenate([b_idx, jnp.zeros((pad,), jnp.int32)])
+        # padding tasks dump into segment nbc (dropped by num_segments)
+        c_seg = jnp.concatenate(
+            [c_seg, jnp.full((pad,), num_c_blocks, jnp.int32)]
+        )
+        # also ensure original dead tasks past nbc segments are dropped
+    a_idx = a_idx.reshape(nchunks, chunk)
+    b_idx = b_idx.reshape(nchunks, chunk)
+    c_seg = c_seg.reshape(nchunks, chunk)
+
+    def step(acc, operands):
+        ai, bi, cs = operands
+        blk_a = jnp.take(a_dense, ai, axis=0).astype(jnp.float32)
+        blk_b = jnp.take(b_dense, bi, axis=0).astype(jnp.float32)
+        contrib = jnp.einsum(
+            "tij,tjk->tik", blk_a, blk_b, preferred_element_type=jnp.float32
+        )
+        acc = acc + jax.ops.segment_sum(
+            contrib, cs, num_segments=num_c_blocks
+        )
+        return acc, None
+
+    init = jnp.zeros((num_c_blocks, 8, 8), jnp.float32)
+    if nchunks == 1:
+        acc, _ = step(init, (a_idx[0], b_idx[0], c_seg[0]))
+        return acc
+    acc, _ = jax.lax.scan(step, init, (a_idx, b_idx, c_seg))
+    return acc
+
+
+@partial(jax.jit, static_argnames=("num_c_blocks", "num_c_nnz", "impl"))
+def _numeric_and_compress(
+    a: BmSparse, b: BmSparse,
+    a_idx: jax.Array, b_idx: jax.Array, c_seg: jax.Array,
+    c_hi: jax.Array, c_lo: jax.Array, c_offsets: jax.Array,
+    num_c_blocks: int, num_c_nnz: int, impl: str,
+):
+    a_dense = a.decompress_blocks()
+    b_dense = b.decompress_blocks()
+    if impl == "pallas":
+        from .pallas.spgemm_kernel import numeric_pallas
+
+        c_dense = numeric_pallas(
+            a_dense, b_dense, a_idx, b_idx, c_seg, num_c_blocks
+        )
+    else:
+        c_dense = _numeric_xla(
+            a_dense, b_dense, a_idx, b_idx, c_seg, num_c_blocks
+        )
+
+    # Compress through C's structural bitmap (row-major / untransposed):
+    # value slot of address a is offsets + prefix-popcount (the inverse of
+    # decompress_blocks).
+    bits = bm.expand_bits(c_hi[:num_c_blocks], c_lo[:num_c_blocks])
+    slot = bm.prefix_popcount(bits)
+    pos = jnp.where(
+        bits > 0,
+        c_offsets[:num_c_blocks, None] + slot,
+        num_c_nnz,  # out of range -> dropped
+    )
+    flat_vals = c_dense.reshape(num_c_blocks, 64)
+    c_values = jnp.zeros((num_c_nnz,), jnp.float32).at[pos.reshape(-1)].set(
+        flat_vals.reshape(-1), mode="drop"
+    )
+    return c_values
+
+
+# ---------------------------------------------------------------------------
+# Public entry points
+# ---------------------------------------------------------------------------
+def spgemm(
+    a: BmSparse,
+    b: BmSparse,
+    impl: str | None = None,
+    verbose: bool | None = None,
+) -> BmSparse:
+    """C = A @ B, host-orchestrated (dynamic exact-ish shapes).
+
+    Mirrors the reference driver defaults: A untransposed, B in transposed
+    intra-block layout (ref: src/bmSparse_SPGEMM.cu:1261-1262), fp32 output.
+    """
+    _check_operands(a, b)
+    cfg = get_config()
+    impl = impl or (cfg.spgemm_impl if cfg.spgemm_impl != "auto" else "xla")
+    verbose = cfg.verbose if verbose is None else verbose
+    timer = PhaseTimer(enabled=verbose)
+
+    nbr_b = b.block_rows
+    with timer.phase("T_1"):
+        cnt, offs, b_row_start, total = _task_counts(a, b, nbr_b)
+        num_tasks = int(total)  # host sync (ref analogue :1095)
+    sentinel = a.block_rows + 1
+
+    t_pad = bucket_size(max(num_tasks, 1))
+    with timer.phase("T_3"):
+        a_idx, b_idx, ck_row, ck_col, nz_total = _build_tasks(
+            a, b, offs, b_row_start, total, t_pad, sentinel
+        )
+        num_alive = int(nz_total)  # host sync
+    if verbose:
+        print(f"Task list size: {num_tasks}")
+        print(f"Bmp reduction: {num_tasks - num_alive}")
+
+    t2 = max(bucket_size(max(num_alive, 1)), 1)
+    if t2 < t_pad:  # drop pruned tail (they sorted last)
+        a_idx, b_idx, ck_row, ck_col = (
+            x[:t2] for x in (a_idx, b_idx, ck_row, ck_col)
+        )
+
+    with timer.phase("T_6"):
+        c_seg, cbrow, cbcol, c_hi, c_lo, c_off, nbc, nnzc = _c_symbolic(
+            a, b, a_idx, b_idx, ck_row, ck_col, sentinel
+        )
+        num_c_blocks = int(nbc)   # host sync (ref :1095)
+        num_c_nnz = int(nnzc)     # host sync (ref :1106)
+
+    nbc_pad = min(bucket_size(max(num_c_blocks, 1)), c_seg.shape[0])
+    nbc_pad = max(nbc_pad, num_c_blocks, 1)
+    nnz_pad = max(bucket_size(max(num_c_nnz, 1)), 1)
+
+    with timer.phase("T_9"):
+        c_values = _numeric_and_compress(
+            a, b, a_idx, b_idx, c_seg,
+            c_hi, c_lo, c_off,
+            nbc_pad, nnz_pad, impl,
+        )
+    timer.report()
+
+    return BmSparse(
+        brow=cbrow[:nbc_pad], bcol=cbcol[:nbc_pad],
+        bmp_hi=c_hi[:nbc_pad], bmp_lo=c_lo[:nbc_pad],
+        offsets=c_off[:nbc_pad], values=c_values,
+        nb=jnp.int32(num_c_blocks),
+        num_rows=a.num_rows, num_cols=b.num_cols, nnz=num_c_nnz,
+        transposed=False,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_tasks", "max_c_blocks", "max_c_nnz", "impl"),
+)
+def spgemm_padded(
+    a: BmSparse,
+    b: BmSparse,
+    max_tasks: int,
+    max_c_blocks: int | None = None,
+    max_c_nnz: int | None = None,
+    impl: str = "xla",
+) -> BmSparse:
+    """Fully jit-compatible C = A @ B with static upper bounds.
+
+    The result is padded: `C.nb` is the true block count; blocks past it
+    have zero bitmaps. Used by the shard_map multi-chip path, where shapes
+    must be static per shard.
+    """
+    max_c_blocks = max_c_blocks or max_tasks
+    max_c_nnz = max_c_nnz or max_c_blocks * 64
+    nbr_b = b.block_rows
+    sentinel = a.block_rows + 1
+
+    cnt, offs, b_row_start, total = _task_counts(a, b, nbr_b)
+    a_idx, b_idx, ck_row, ck_col, _ = _build_tasks(
+        a, b, offs, b_row_start, total, max_tasks, sentinel
+    )
+    c_seg, cbrow, cbcol, c_hi, c_lo, c_off, nbc, nnzc = _c_symbolic(
+        a, b, a_idx, b_idx, ck_row, ck_col, sentinel
+    )
+    k = min(max_c_blocks, max_tasks)
+    c_values = _numeric_and_compress(
+        a, b, a_idx, b_idx, c_seg,
+        c_hi[:k], c_lo[:k], c_off[:k],
+        k, max_c_nnz, impl,
+    )
+    return BmSparse(
+        brow=cbrow[:k], bcol=cbcol[:k],
+        bmp_hi=c_hi[:k], bmp_lo=c_lo[:k],
+        offsets=c_off[:k], values=c_values,
+        nb=nbc,
+        num_rows=a.num_rows, num_cols=b.num_cols, nnz=max_c_nnz,
+        transposed=False,
+    )

@@ -1,0 +1,176 @@
+"""Format-core tests: bitmap algebra, COO<->BmSparse round trip, CSR,
+binary IO — the round-trip-vs-scipy oracle strategy of SURVEY.md §4."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from bmsparse_tpu import (
+    BmSparse,
+    CSRMatrix,
+    bmsparse_to_csr,
+    coo_to_bmsparse,
+    csr_to_bmsparse,
+    load_bmsparse,
+    mean_relative_error,
+    save_bmsparse,
+)
+from bmsparse_tpu.format import bitmap as bm
+
+from conftest import random_coo
+
+
+# ---------------------------------------------------------------------------
+# bitmap algebra
+# ---------------------------------------------------------------------------
+def test_expand_pack_roundtrip(rng):
+    words = rng.integers(0, 2**32, size=(32, 2), dtype=np.uint32)
+    hi, lo = jnp.asarray(words[:, 0]), jnp.asarray(words[:, 1])
+    bits = bm.expand_bits(hi, lo)
+    assert bits.shape == (32, 64)
+    hi2, lo2 = bm.pack_bits(bits)
+    np.testing.assert_array_equal(np.asarray(hi2), words[:, 0])
+    np.testing.assert_array_equal(np.asarray(lo2), words[:, 1])
+
+
+def test_bit_convention_matches_reference():
+    # bit 63 - a for address a = rel_i*8 + rel_j (ref: src/bmSpMatrix.cu:96)
+    hi, lo = bm.coords_to_words(jnp.array([0]), jnp.array([0]), transposed=False)
+    assert int(hi[0]) == 0x80000000 and int(lo[0]) == 0  # address 0 -> bit 63 -> hi bit 31
+    hi, lo = bm.coords_to_words(jnp.array([7]), jnp.array([7]), transposed=False)
+    assert int(hi[0]) == 0 and int(lo[0]) == 1  # address 63 -> bit 0
+    # transposed: address = rel_j*8 + rel_i (ref: src/bmSpMatrix.cu:91-95)
+    hi, lo = bm.coords_to_words(jnp.array([1]), jnp.array([0]), transposed=True)
+    bits = bm.expand_bits(hi, lo)
+    assert int(bits[0, 1]) == 1 and int(jnp.sum(bits)) == 1
+
+
+def test_popcount_and_prefix(rng):
+    words = rng.integers(0, 2**32, size=(16, 2), dtype=np.uint32)
+    hi, lo = jnp.asarray(words[:, 0]), jnp.asarray(words[:, 1])
+    bits = np.asarray(bm.expand_bits(hi, lo))
+    np.testing.assert_array_equal(
+        np.asarray(bm.popcount(hi, lo)), bits.sum(axis=1)
+    )
+    prefix = np.asarray(bm.prefix_popcount(jnp.asarray(bits)))
+    expected = np.cumsum(bits, axis=1) - bits
+    np.testing.assert_array_equal(prefix, expected)
+
+
+def test_bitmap_product_matches_dense(rng):
+    # C(i,k) = OR_j A(i,j) & B(j,k) with B column-major (transposed storage)
+    a_dense = (rng.random((8, 8)) < 0.3).astype(np.int32)
+    b_dense = (rng.random((8, 8)) < 0.3).astype(np.int32)
+    a_bits = jnp.asarray(a_dense.reshape(1, 64))
+    b_bits = jnp.asarray(b_dense.T.reshape(1, 64))  # column-major storage
+    a_hi, a_lo = bm.pack_bits(a_bits)
+    b_hi, b_lo = bm.pack_bits(b_bits)
+    c_hi, c_lo = bm.bitmap_product(a_hi, a_lo, b_hi, b_lo, b_transposed=True)
+    c_bits = np.asarray(bm.expand_bits(c_hi, c_lo)).reshape(8, 8)
+    expected = ((a_dense @ b_dense) > 0).astype(np.int32)
+    np.testing.assert_array_equal(c_bits, expected)
+
+
+# ---------------------------------------------------------------------------
+# conversion round trips
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("shape,density", [((24, 24), 0.15), ((100, 64), 0.05),
+                                           ((9, 17), 0.3), ((256, 256), 0.02)])
+@pytest.mark.parametrize("transposed", [False, True])
+def test_coo_roundtrip(shape, density, transposed):
+    rows, cols, vals = random_coo(*shape, density=density, seed=hash(shape) % 2**31)
+    m = coo_to_bmsparse(rows, cols, vals, shape, transposed=transposed)
+    r2, c2, v2 = m.generate_coo()
+    ref = sp.coo_matrix((vals, (rows, cols)), shape=shape)
+    got = sp.coo_matrix((v2, (r2, c2)), shape=shape)
+    assert (abs(ref - got) > 1e-6).nnz == 0
+    assert mean_relative_error(m, ref) < 1e-6
+
+
+def test_roundtrip_ragusa16(ragusa16):
+    m = coo_to_bmsparse(
+        ragusa16.row.astype(np.int32),
+        ragusa16.col.astype(np.int32),
+        ragusa16.data.astype(np.float32),
+        ragusa16.shape,
+    )
+    assert m.nnz == 81
+    assert mean_relative_error(m, ragusa16) < 1e-6
+
+
+def test_offsets_and_block_order():
+    # blocks must be sorted by (brow, bcol); offsets = exclusive scan of popcount
+    rows, cols, vals = random_coo(64, 64, density=0.1, seed=3)
+    m = coo_to_bmsparse(rows, cols, vals, (64, 64))
+    nb = int(m.nb)
+    brow = np.asarray(m.brow)[:nb]
+    bcol = np.asarray(m.bcol)[:nb]
+    keys = brow.astype(np.int64) * 2**32 + bcol
+    assert np.all(np.diff(keys) > 0)
+    cnt = np.asarray(m.block_nnz())[:nb]
+    off = np.asarray(m.offsets)[:nb]
+    np.testing.assert_array_equal(off, np.cumsum(cnt) - cnt)
+    assert cnt.sum() == m.nnz
+
+
+def test_padding_blocks_are_identity():
+    rows, cols, vals = random_coo(32, 32, density=0.2, seed=7)
+    m = coo_to_bmsparse(rows, cols, vals, (32, 32))
+    mp = m.pad_to(m.nb_pad + 17, m.nnz_pad + 5)
+    d1 = np.asarray(m.decompress_blocks())
+    d2 = np.asarray(mp.decompress_blocks())
+    np.testing.assert_array_equal(d2[: m.nb_pad], d1)
+    assert np.all(d2[m.nb_pad:] == 0)
+    r1 = m.generate_coo()
+    r2 = mp.generate_coo()
+    for a, b in zip(r1, r2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_decompress_blocks_dense_equiv():
+    rows, cols, vals = random_coo(40, 40, density=0.15, seed=11)
+    m = coo_to_bmsparse(rows, cols, vals, (40, 40))
+    dense = np.zeros((40, 48))  # padded to whole blocks
+    dense[rows, cols] = vals
+    blocks = np.asarray(m.decompress_blocks())
+    nb = int(m.nb)
+    for k in range(nb):
+        br, bc = int(m.brow[k]), int(m.bcol[k])
+        expect = np.zeros((8, 8), np.float32)
+        sub = dense[br * 8 : min((br + 1) * 8, 40), bc * 8 : (bc + 1) * 8]
+        expect[: sub.shape[0], : sub.shape[1]] = sub
+        np.testing.assert_allclose(blocks[k], expect, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# CSR + binary IO
+# ---------------------------------------------------------------------------
+def test_csr_roundtrip():
+    rows, cols, vals = random_coo(50, 70, density=0.08, seed=5)
+    ref = sp.csr_matrix((vals, (rows, cols)), shape=(50, 70))
+    csr = CSRMatrix.from_scipy(ref)
+    m = csr_to_bmsparse(csr)
+    assert mean_relative_error(m, ref) < 1e-6
+    back = bmsparse_to_csr(m)
+    assert (abs(back.to_scipy() - ref) > 1e-6).nnz == 0
+
+
+def test_binary_io(tmp_path):
+    rows, cols, vals = random_coo(48, 48, density=0.1, seed=9)
+    m = coo_to_bmsparse(rows, cols, vals, (48, 48))
+    p = str(tmp_path / "m.npz")
+    save_bmsparse(p, m)
+    m2 = load_bmsparse(p)
+    assert m2.shape == m.shape and m2.nnz == m.nnz
+    for a, b in zip(m.generate_coo(), m2.generate_coo()):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_bf16_values():
+    rows, cols, vals = random_coo(32, 32, density=0.2, seed=13)
+    m = coo_to_bmsparse(rows, cols, vals.astype(jnp.bfloat16), (32, 32))
+    ref = sp.coo_matrix((vals, (rows, cols)), shape=(32, 32))
+    # bf16 has ~3 decimal digits; tolerance accordingly
+    assert mean_relative_error(m, ref) < 1e-2

@@ -1,0 +1,77 @@
+"""SpMV correctness vs scipy oracle (reference semantics: u = A @ v,
+v initialized to ones in the reference driver, ref: src/bmSparse_SPMV.cu:279)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from bmsparse_tpu import CSRMatrix, coo_to_bmsparse, csr_spmv, spmv
+from bmsparse_tpu.oracle.scipy_oracle import oracle_spmv
+
+from conftest import random_coo
+
+
+@pytest.mark.parametrize(
+    "shape,density",
+    [((24, 24), 0.15), ((64, 64), 0.1), ((100, 52), 0.07), ((333, 217), 0.03)],
+)
+def test_spmv_matches_scipy(shape, density):
+    rows, cols, vals = random_coo(*shape, density=density, seed=hash(shape) % 997)
+    ref = sp.csr_matrix((vals, (rows, cols)), shape=shape)
+    m = coo_to_bmsparse(rows, cols, vals, shape)
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal(shape[1]).astype(np.float32)
+    u = np.asarray(spmv(m, jnp.asarray(v)))
+    np.testing.assert_allclose(u, ref @ v, rtol=1e-4, atol=1e-5)
+
+
+def test_spmv_ones_vector(ragusa16):
+    m = coo_to_bmsparse(
+        ragusa16.row.astype(np.int32),
+        ragusa16.col.astype(np.int32),
+        ragusa16.data.astype(np.float32),
+        ragusa16.shape,
+    )
+    v = jnp.ones((ragusa16.shape[1],), jnp.float32)
+    u = np.asarray(spmv(m, v))
+    np.testing.assert_allclose(u, ragusa16 @ np.ones(ragusa16.shape[1]), rtol=1e-5)
+
+
+def test_spmv_padded_equals_unpadded():
+    rows, cols, vals = random_coo(80, 80, density=0.05, seed=21)
+    m = coo_to_bmsparse(rows, cols, vals, (80, 80))
+    v = jnp.asarray(np.random.default_rng(2).standard_normal(80), jnp.float32)
+    u1 = np.asarray(spmv(m, v))
+    u2 = np.asarray(spmv(m.pad_to(m.nb_pad + 33, m.nnz_pad + 8), v))
+    np.testing.assert_allclose(u1, u2, rtol=1e-6)
+
+
+def test_spmv_bf16():
+    rows, cols, vals = random_coo(64, 64, density=0.1, seed=23)
+    ref = sp.csr_matrix((vals, (rows, cols)), shape=(64, 64))
+    m = coo_to_bmsparse(rows, cols, vals.astype(jnp.bfloat16), (64, 64))
+    v = np.ones(64, np.float32)
+    u = np.asarray(spmv(m, jnp.asarray(v, jnp.bfloat16))).astype(np.float32)
+    np.testing.assert_allclose(u, ref @ v, rtol=0.05, atol=0.1)
+
+
+def test_csr_spmv(ragusa16):
+    csr = CSRMatrix.from_scipy(ragusa16.astype(np.float32))
+    v = np.random.default_rng(3).standard_normal(ragusa16.shape[1]).astype(np.float32)
+    u = np.asarray(csr_spmv(csr, jnp.asarray(v)))
+    np.testing.assert_allclose(u, ragusa16 @ v, rtol=1e-4, atol=1e-5)
+
+
+def test_oracle_spmv_runs(ragusa16):
+    v = np.ones(ragusa16.shape[1], np.float32)
+    u = oracle_spmv(ragusa16, v)
+    np.testing.assert_allclose(u, ragusa16 @ v)
+
+
+def test_spmv_rejects_transposed():
+    rows, cols, vals = random_coo(16, 16, density=0.2, seed=4)
+    m = coo_to_bmsparse(rows, cols, vals, (16, 16), transposed=True)
+    with pytest.raises(ValueError):
+        spmv(m, jnp.ones(16, jnp.float32))
