@@ -225,12 +225,26 @@ def _numeric_xla(
     b_idx = b_idx.reshape(nchunks, chunk)
     c_seg = c_seg.reshape(nchunks, chunk)
 
+    # Precision policy: f32 inputs must multiply at full f32 precision to
+    # match the scipy oracle (TPU MXU otherwise decomposes into bf16
+    # passes); bf16 inputs use the native bf16-multiply/f32-accumulate path
+    # — the TPU analogue of the reference's fp16 x fp16 -> fp32 wmma regime.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if a_dense.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
     def step(acc, operands):
         ai, bi, cs = operands
-        blk_a = jnp.take(a_dense, ai, axis=0).astype(jnp.float32)
-        blk_b = jnp.take(b_dense, bi, axis=0).astype(jnp.float32)
+        blk_a = jnp.take(a_dense, ai, axis=0)
+        blk_b = jnp.take(b_dense, bi, axis=0)
         contrib = jnp.einsum(
-            "tij,tjk->tik", blk_a, blk_b, preferred_element_type=jnp.float32
+            "tij,tjk->tik",
+            blk_a,
+            blk_b,
+            preferred_element_type=jnp.float32,
+            precision=precision,
         )
         acc = acc + jax.ops.segment_sum(
             contrib, cs, num_segments=num_c_blocks

@@ -48,10 +48,19 @@ def _spmv_xla(m: BmSparse, v: jax.Array) -> jax.Array:
     vseg = vpad[m.bcol[:, None] * BLOCK_WIDTH
                 + jnp.arange(BLOCK_WIDTH)[None, :]]         # (nb, 8)
     acc_dtype = jnp.promote_types(m.dtype, jnp.float32)
+    # f32 data must not be decomposed into bf16 MXU passes (oracle parity);
+    # bf16 data uses the native multiply path with f32 accumulation.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if dense.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     contrib = jnp.einsum(
         "nij,nj->ni",
-        dense.astype(acc_dtype),
-        vseg.astype(acc_dtype),
+        dense.astype(acc_dtype) if dense.dtype != jnp.bfloat16 else dense,
+        vseg.astype(acc_dtype) if vseg.dtype != jnp.bfloat16 else vseg,
+        preferred_element_type=acc_dtype,
+        precision=precision,
     )                                                       # (nb, 8)
     # Padding blocks have brow == nbr (sentinel) -> dropped by num_segments.
     u_blocks = jax.ops.segment_sum(contrib, m.brow, num_segments=nbr)

@@ -1,0 +1,141 @@
+"""SpGEMM correctness vs scipy oracle — reference semantics: C = A @ B with
+B stored transposed intra-block, fp32 accumulation, structural result
+(cancellations stored as explicit zeros)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from bmsparse_tpu import coo_to_bmsparse, mean_relative_error
+from bmsparse_tpu.ops.spgemm import spgemm, spgemm_padded
+from bmsparse_tpu.oracle.scipy_oracle import oracle_spgemm
+
+from conftest import random_coo
+
+
+def _make(shape, density, seed, transposed=False, dtype=np.float32):
+    rows, cols, vals = random_coo(*shape, density=density, seed=seed, dtype=dtype)
+    m = coo_to_bmsparse(rows, cols, vals, shape, transposed=transposed)
+    ref = sp.csr_matrix((vals.astype(np.float64), (rows, cols)), shape=shape)
+    return m, ref
+
+
+@pytest.mark.parametrize(
+    "ashape,bshape,density",
+    [
+        ((24, 24), (24, 24), 0.15),
+        ((64, 48), (48, 80), 0.08),
+        ((33, 57), (57, 29), 0.12),
+        ((128, 128), (128, 128), 0.03),
+    ],
+)
+def test_spgemm_matches_scipy(ashape, bshape, density):
+    a, a_ref = _make(ashape, density, seed=1)
+    b, b_ref = _make(bshape, density, seed=2, transposed=True)
+    c = spgemm(a, b)
+    c_ref = (a_ref @ b_ref).tocsr()
+    assert mean_relative_error(c, c_ref) < 1e-5
+
+
+def test_spgemm_a_times_a(ragusa16):
+    # The reference benchmark harness runs A*A (spgemm_run_batch.sh:15).
+    coo = ragusa16
+    a = coo_to_bmsparse(
+        coo.row.astype(np.int32), coo.col.astype(np.int32),
+        coo.data.astype(np.float32), coo.shape,
+    )
+    b = coo_to_bmsparse(
+        coo.row.astype(np.int32), coo.col.astype(np.int32),
+        coo.data.astype(np.float32), coo.shape, transposed=True,
+    )
+    c = spgemm(a, b)
+    c_ref = (coo.tocsr() @ coo.tocsr()).tocsr()
+    assert mean_relative_error(c, c_ref) < 1e-5
+    # structural counts at least cover the numeric result
+    assert c.nnz >= c_ref.nnz
+
+
+def test_spgemm_untransposed_b():
+    # B without the transposed layout must give identical results.
+    a, a_ref = _make((40, 40), 0.1, seed=3)
+    bt, b_ref = _make((40, 40), 0.1, seed=4, transposed=True)
+    bu, _ = _make((40, 40), 0.1, seed=4, transposed=False)
+    c1 = spgemm(a, bt)
+    c2 = spgemm(a, bu)
+    for x, y in zip(c1.generate_coo(), c2.generate_coo()):
+        np.testing.assert_allclose(x, y, rtol=1e-6)
+    assert mean_relative_error(c1, (a_ref @ b_ref).tocsr()) < 1e-5
+
+
+def test_spgemm_structural_zeros():
+    # Numeric cancellation keeps a structural entry with value 0.
+    rows = np.array([0, 0, 1, 1], np.int32)
+    cols = np.array([0, 1, 0, 1], np.int32)
+    a_vals = np.array([1.0, 1.0, 1.0, 1.0], np.float32)
+    b_vals = np.array([1.0, 1.0, -1.0, -1.0], np.float32)
+    a = coo_to_bmsparse(rows, cols, a_vals, (8, 8))
+    b = coo_to_bmsparse(rows, cols, b_vals, (8, 8), transposed=True)
+    c = spgemm(a, b)
+    r, cc, v = c.generate_coo()
+    # all four C entries structurally present, all numerically zero
+    assert len(r) == 4
+    np.testing.assert_allclose(v, 0.0, atol=1e-6)
+
+
+def test_spgemm_empty_product():
+    # A's columns never meet B's rows -> empty C
+    a = coo_to_bmsparse(
+        np.array([0], np.int32), np.array([0], np.int32),
+        np.array([1.0], np.float32), (16, 16),
+    )
+    b = coo_to_bmsparse(
+        np.array([8], np.int32), np.array([0], np.int32),
+        np.array([1.0], np.float32), (16, 16), transposed=True,
+    )
+    c = spgemm(a, b)
+    assert int(c.nb) == 0
+    assert c.generate_coo()[0].size == 0
+
+
+def test_spgemm_padded_matches_host_path():
+    a, a_ref = _make((64, 64), 0.08, seed=5)
+    b, b_ref = _make((64, 64), 0.08, seed=6, transposed=True)
+    c = spgemm_padded(a, b, max_tasks=4096)
+    c_ref = (a_ref @ b_ref).tocsr()
+    assert mean_relative_error(c, c_ref) < 1e-5
+
+
+def test_spgemm_padded_operands():
+    a, a_ref = _make((48, 48), 0.1, seed=7)
+    b, b_ref = _make((48, 48), 0.1, seed=8, transposed=True)
+    ap = a.pad_to(a.nb_pad + 11, a.nnz_pad + 3)
+    bp = b.pad_to(b.nb_pad + 5, b.nnz_pad + 9)
+    c = spgemm(ap, bp)
+    assert mean_relative_error(c, (a_ref @ b_ref).tocsr()) < 1e-5
+
+
+def test_spgemm_bf16_inputs_f32_accum():
+    # reference numeric regime: fp16 inputs, fp32 accumulate (SPGEMM.cu:51)
+    a, a_ref = _make((64, 64), 0.1, seed=9, dtype=np.float32)
+    b, b_ref = _make((64, 64), 0.1, seed=10, transposed=True)
+    c = spgemm(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+    assert c.values.dtype == jnp.float32
+    assert mean_relative_error(c, (a_ref @ b_ref).tocsr()) < 2e-2
+
+
+def test_oracle_spgemm(ragusa16):
+    c = oracle_spgemm(ragusa16, ragusa16)
+    ref = ragusa16.tocsr() @ ragusa16.tocsr()
+    assert (abs(c - ref) > 1e-8).nnz == 0
+
+
+def test_spgemm_verbose_phase_labels(capsys):
+    a, _ = _make((24, 24), 0.2, seed=11)
+    b, _ = _make((24, 24), 0.2, seed=12, transposed=True)
+    spgemm(a, b, verbose=True)
+    out = capsys.readouterr().out
+    assert "Task list size:" in out
+    assert "Bmp reduction:" in out
+    assert "Toda F:" in out
