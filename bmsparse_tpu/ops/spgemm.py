@@ -75,12 +75,24 @@ def _check_operands(a: BmSparse, b: BmSparse) -> None:
 # ---------------------------------------------------------------------------
 @partial(jax.jit, static_argnames=("num_b_block_rows",))
 def _task_counts(a: BmSparse, b: BmSparse, num_b_block_rows: int):
-    """Per-A-block task counts + exclusive offsets + total (traced)."""
+    """Per-A-block task counts + exclusive offsets + total (traced).
+
+    B's per-row start positions come from a positional segment_min rather
+    than a cumsum of counts, so B may contain padding blocks *between*
+    row groups (as produced by the multi-chip all-gather halo exchange) —
+    the only requirement is that each block-row's valid blocks are
+    contiguous and stored in intra-row sorted order.
+    """
     b_valid = ((b.bmp_hi | b.bmp_lo) != 0).astype(jnp.int32)
     b_row_count = jax.ops.segment_sum(
         b_valid, b.brow, num_segments=num_b_block_rows
     )                                                   # T1
-    b_row_start = jnp.cumsum(b_row_count) - b_row_count
+    pos = jnp.arange(b.nb_pad, dtype=jnp.int32)
+    b_row_start = jax.ops.segment_min(
+        jnp.where(b_valid > 0, pos, jnp.int32(2**31 - 1)),
+        b.brow,
+        num_segments=num_b_block_rows,
+    )
     a_valid = (a.bmp_hi | a.bmp_lo) != 0
     bcol = jnp.clip(a.bcol, 0, num_b_block_rows - 1)
     cnt = jnp.where(a_valid, jnp.take(b_row_count, bcol), 0)  # T2

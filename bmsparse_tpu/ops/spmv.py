@@ -41,8 +41,13 @@ from ..format.bmsparse import BmSparse, cdiv
 @jax.jit
 def _spmv_xla(m: BmSparse, v: jax.Array) -> jax.Array:
     nbr = m.block_rows
-    # Pad v to whole blocks so per-block gathers are in-bounds.
-    vpad = jnp.zeros((m.block_cols * BLOCK_WIDTH,), v.dtype).at[: v.shape[0]].set(v)
+    # Pad (or trim) v to whole blocks so per-block gathers are in-bounds;
+    # the multi-chip path passes an all-gathered v that may be longer.
+    n = m.block_cols * BLOCK_WIDTH
+    if v.shape[0] >= n:
+        vpad = v[:n]
+    else:
+        vpad = jnp.zeros((n,), v.dtype).at[: v.shape[0]].set(v)
 
     dense = m.decompress_blocks()                           # (nb, 8, 8)
     vseg = vpad[m.bcol[:, None] * BLOCK_WIDTH

@@ -1,0 +1,85 @@
+"""Multi-chip SpMV: u = A @ v with A block-row-partitioned over a 1-D mesh.
+
+Communication pattern (BASELINE.json north star / SURVEY.md §5): each shard
+owns a contiguous block-row range of A and the matching slice of u; the
+input vector v is sharded the same way, and the halo exchange is an
+all-gather of v over ICI (a shard needs v entries for every block column
+it touches; for general sparsity that is the full vector, and one fused
+XLA all-gather is the bandwidth-optimal way to get it). Compute is the
+standard single-chip SpMV on the local shard — padding blocks contribute
+zeros, so no masking is needed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import BLOCK_HEIGHT, BLOCK_WIDTH, round_up
+from ..format.bmsparse import BmSparse
+from ..ops.spmv import _spmv_xla
+from .mesh import AXIS
+from .partition import ShardedBmSparse
+
+try:  # jax>=0.6 stable name
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def _local_spmv(
+    brow, bcol, hi, lo, offsets, values, nb, v_local,
+    *, rows_per_shard: int, num_cols: int, nnz_max: int, v_len: int,
+):
+    """Per-shard body: all-gather v, run local SpMV on owned block rows."""
+    s = jax.lax.axis_index(AXIS)
+    v_full = jax.lax.all_gather(v_local[0], AXIS, tiled=True)[:v_len]
+    local = BmSparse(
+        brow=brow[0] - s * rows_per_shard,  # localize row ids
+        bcol=bcol[0], bmp_hi=hi[0], bmp_lo=lo[0],
+        offsets=offsets[0], values=values[0], nb=nb[0],
+        num_rows=rows_per_shard * BLOCK_HEIGHT,
+        num_cols=num_cols, nnz=nnz_max, transposed=False,
+    )
+    u_local = _spmv_xla(local, v_full)
+    return u_local[None, :]
+
+
+def sharded_spmv(sm: ShardedBmSparse, v: jax.Array, mesh: Mesh) -> jax.Array:
+    """u = A @ v over the mesh. Returns the full u (length num_rows)."""
+    if sm.transposed:
+        raise ValueError("SpMV expects an untransposed matrix")
+    d = mesh.devices.size
+    if sm.num_shards != d:
+        raise ValueError(f"matrix has {sm.num_shards} shards, mesh has {d}")
+    # v sharded over the mesh; padded so the shard size is uniform.
+    v_len = round_up(sm.num_cols, BLOCK_WIDTH)
+    v_pad = round_up(v_len, d)
+    vg = jnp.zeros((v_pad,), v.dtype).at[: v.shape[0]].set(v)
+    vg = vg.reshape(d, v_pad // d)
+
+    fn = shard_map(
+        partial(
+            _local_spmv,
+            rows_per_shard=sm.rows_per_shard,
+            num_cols=sm.num_cols,
+            nnz_max=sm.nnz_max,
+            v_len=v_len,
+        ),
+        mesh=mesh,
+        in_specs=(P(AXIS),) * 8,
+        out_specs=P(AXIS),
+    )
+    u = fn(sm.brow, sm.bcol, sm.bmp_hi, sm.bmp_lo,
+           sm.offsets, sm.values, sm.nb, vg)
+    return u.reshape(-1)[: sm.num_rows]
+
+
+def spmv_sharding_plan(mesh: Mesh) -> dict:
+    """NamedShardings for placing a ShardedBmSparse and v on the mesh
+    ahead of time (avoids implicit transfers under jit)."""
+    s = NamedSharding(mesh, P(AXIS))
+    return dict(arrays=s, vector=s)

@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# This image pins jax_platforms to "axon,cpu" regardless of JAX_PLATFORMS;
+# override through the config API before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 import scipy.sparse as sp

@@ -1,0 +1,87 @@
+"""Multi-chip tests on the 8-virtual-device CPU mesh: partition round trip,
+sharded SpMV (v all-gather halo exchange), sharded SpGEMM (B all-gather)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from bmsparse_tpu import coo_to_bmsparse, mean_relative_error
+from bmsparse_tpu.parallel.mesh import make_mesh
+from bmsparse_tpu.parallel.partition import partition
+from bmsparse_tpu.parallel.spgemm import estimate_bounds, sharded_spgemm
+from bmsparse_tpu.parallel.spmv import sharded_spmv
+
+from conftest import random_coo
+
+
+needs_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _make(shape, density, seed, transposed=False):
+    rows, cols, vals = random_coo(*shape, density=density, seed=seed)
+    m = coo_to_bmsparse(rows, cols, vals, shape, transposed=transposed)
+    ref = sp.csr_matrix((vals.astype(np.float64), (rows, cols)), shape=shape)
+    return m, ref
+
+
+@pytest.mark.parametrize("d", [2, 8])
+def test_partition_roundtrip(d):
+    m, ref = _make((200, 160), 0.04, seed=31)
+    sm = partition(m, d)
+    back = sm.to_bmsparse()
+    assert mean_relative_error(back, ref) < 1e-6
+    assert int(sm.nb.sum()) == int(m.nb)
+
+
+@needs_8
+@pytest.mark.parametrize("d", [2, 4, 8])
+def test_sharded_spmv(d):
+    m, ref = _make((177, 203), 0.05, seed=37)
+    sm = partition(m, d)
+    mesh = make_mesh(d)
+    v = np.random.default_rng(5).standard_normal(203).astype(np.float32)
+    u = np.asarray(sharded_spmv(sm, jnp.asarray(v), mesh))
+    np.testing.assert_allclose(u, ref @ v, rtol=1e-4, atol=1e-5)
+
+
+@needs_8
+def test_sharded_spmv_uneven_rows():
+    # last shard owns a partial row range
+    m, ref = _make((100, 100), 0.06, seed=41)
+    sm = partition(m, 8)
+    mesh = make_mesh(8)
+    v = np.ones(100, np.float32)
+    u = np.asarray(sharded_spmv(sm, jnp.asarray(v), mesh))
+    np.testing.assert_allclose(u, ref @ v, rtol=1e-4, atol=1e-5)
+
+
+@needs_8
+@pytest.mark.parametrize("d", [2, 8])
+def test_sharded_spgemm(d):
+    a, a_ref = _make((96, 80), 0.06, seed=43)
+    b, b_ref = _make((80, 112), 0.06, seed=44, transposed=True)
+    sa = partition(a, d)
+    sb = partition(b, d)
+    mesh = make_mesh(d)
+    bounds = estimate_bounds(sa, sb)
+    c = sharded_spgemm(sa, sb, mesh, **bounds)
+    c_full = c.to_bmsparse()
+    assert mean_relative_error(c_full, (a_ref @ b_ref).tocsr()) < 1e-5
+
+
+@needs_8
+def test_sharded_matches_single_chip():
+    a, a_ref = _make((64, 64), 0.1, seed=45)
+    b, _ = _make((64, 64), 0.1, seed=46, transposed=True)
+    from bmsparse_tpu.ops.spgemm import spgemm
+
+    c1 = spgemm(a, b)
+    sa, sb = partition(a, 4), partition(b, 4)
+    c2 = sharded_spgemm(sa, sb, make_mesh(4), **estimate_bounds(sa, sb))
+    for x, y in zip(c1.generate_coo(), c2.to_bmsparse().generate_coo()):
+        np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6)
