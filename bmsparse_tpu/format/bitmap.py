@@ -117,18 +117,14 @@ def bitmap_product(
     Vectorized restatement of `bmp_calculator`
     (ref: src/bmSparse_SPGEMM.cu:787-810). A is row-major; B is column-major
     when ``b_transposed`` (the reference always stores the B operand
-    transposed). Output C bitmap is row-major (untransposed).
-    Boolean matmul is done as an int8 matmul on the MXU.
+    transposed). Output C bitmap is row-major (untransposed). Computed in
+    flat (n, 64) layout to keep TPU tiling dense (see format/blockops.py).
     """
-    a_bool = bits_to_dense_bool(expand_bits(a_hi, a_lo), transposed=False)
-    b_bool = bits_to_dense_bool(expand_bits(b_hi, b_lo), transposed=b_transposed)
-    prod = jnp.einsum(
-        "...ij,...jk->...ik",
-        a_bool.astype(jnp.int8),
-        b_bool.astype(jnp.int8),
-        preferred_element_type=jnp.int32,
-    )
-    c_bits = (prod > 0).astype(jnp.int32).reshape(a_bool.shape[:-2] + (64,))
+    from .blockops import block_product_bits_flat
+
+    a_bits = expand_bits(a_hi, a_lo)
+    b_bits = expand_bits(b_hi, b_lo)
+    c_bits = block_product_bits_flat(a_bits, b_bits, b_transposed)
     return pack_bits(c_bits)
 
 

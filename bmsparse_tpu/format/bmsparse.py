@@ -98,24 +98,34 @@ class BmSparse:
         """Per-block nonzero count (popcount of the bitmap)."""
         return bm.popcount(self.bmp_hi, self.bmp_lo)
 
-    def decompress_blocks(self, dtype=None) -> jax.Array:
-        """Expand packed values into dense 8x8 tiles: (nb_pad, 8, 8).
+    def decompress_blocks_flat(self, dtype=None) -> jax.Array:
+        """Expand packed values into dense flat tiles: (nb_pad, 64),
+        row-major slots (slot = rel_i*8 + rel_j) regardless of storage
+        layout.
 
         The TPU-native replacement for the reference's in-kernel
         prefix-popcount ``shmem_load`` (ref: src/bmSparse_SPGEMM.cu:152-162):
         instead of decompressing per warp per use, decompress once into
-        MXU/VPU-ready dense tiles. Zero-bitmap (padding) blocks yield zero
-        tiles. Output is always logically [rel_i, rel_j] row-major.
+        VPU-ready dense tiles. Zero-bitmap (padding) blocks yield zero
+        tiles. The (n, 64) layout keeps TPU memory tiling dense
+        (see format/blockops.py).
         """
+        from .blockops import storage_to_rowmajor
+
         bits = bm.expand_bits(self.bmp_hi, self.bmp_lo)        # (nb, 64)
         slot = bm.prefix_popcount(bits)                        # (nb, 64)
         idx = jnp.clip(self.offsets[:, None] + slot, 0, self.nnz_pad - 1)
         vals = jnp.take(self.values, idx, axis=0)              # (nb, 64)
         dense = jnp.where(bits > 0, vals, jnp.zeros((), self.values.dtype))
-        dense = bm.bits_to_dense_bool(dense, self.transposed)  # reuse reshape
+        dense = storage_to_rowmajor(dense, self.transposed)
         if dtype is not None:
             dense = dense.astype(dtype)
         return dense
+
+    def decompress_blocks(self, dtype=None) -> jax.Array:
+        """(nb_pad, 8, 8) dense tiles ([rel_i, rel_j]); prefer
+        `decompress_blocks_flat` on hot paths (layout)."""
+        return self.decompress_blocks_flat(dtype).reshape(self.nb_pad, 8, 8)
 
     def valid_mask(self) -> jax.Array:
         return jnp.arange(self.nb_pad, dtype=jnp.int32) < self.nb

@@ -144,6 +144,11 @@ def _build_tasks(
     # C key (task_elem_to_C_key, ref :111-119): (A block-row, B block-col).
     ck_row = jnp.where(alive, jnp.take(a.brow, a_idx), jnp.int32(c_row_sentinel))
     ck_col = jnp.where(alive, jnp.take(b.bcol, b_idx), jnp.int32(0))
+    # Cluster dead/padding tasks at the top block index so the sorted tail
+    # chunks keep tight index spans for the one-hot numeric gathers (their
+    # gathered values are discarded via the sentinel C segment anyway).
+    a_idx = jnp.where(alive, a_idx, jnp.int32(a.nb_pad - 1))
+    b_idx = jnp.where(alive, b_idx, jnp.int32(b.nb_pad - 1))
 
     # T5: single lexicographic sort replaces thrust::sort/bb_segsort.
     ck_row, ck_col, a_idx, b_idx = jax.lax.sort(
@@ -210,17 +215,23 @@ def _c_symbolic(
 # Numeric phase
 # ---------------------------------------------------------------------------
 def _numeric_xla(
-    a_dense: jax.Array, b_dense: jax.Array,
+    a_flat: jax.Array, b_flat: jax.Array,
     a_idx: jax.Array, b_idx: jax.Array, c_seg: jax.Array,
     num_c_blocks: int,
+    a_span: int = 0, b_span: int = 0,
 ):
     """Chunked batched 8x8 block products accumulated per C block.
 
     The TPU analogue of multiplyV15's scalar FMA loop (ref :205-291):
-    gather dense tiles, batched matmul in fp32, segment-sum by C block.
-    lax.scan over fixed-size task chunks bounds peak memory the way the
-    reference's TASK_BUFFER staging does (ref :343,358).
+    gather flat dense tiles, eight 64-lane VPU multiply-accumulates per
+    task (see format/blockops.py), segment-sum by C block. lax.scan over
+    fixed-size task chunks bounds peak memory the way the reference's
+    TASK_BUFFER staging does (ref :343,358). All intermediates are (n, 64)
+    — never (n, 8, 8) — to keep TPU memory tiling dense.
     """
+    from ..format.blockops import block_matmul_flat
+    from .gather import gather_rows
+
     nt = a_idx.shape[0]
     chunk = min(_NUMERIC_CHUNK, nt)
     nchunks = -(-nt // chunk)
@@ -228,42 +239,27 @@ def _numeric_xla(
     if pad:
         a_idx = jnp.concatenate([a_idx, jnp.zeros((pad,), jnp.int32)])
         b_idx = jnp.concatenate([b_idx, jnp.zeros((pad,), jnp.int32)])
-        # padding tasks dump into segment nbc (dropped by num_segments)
+        # padding tasks dump into segment num_c_blocks (dropped)
         c_seg = jnp.concatenate(
             [c_seg, jnp.full((pad,), num_c_blocks, jnp.int32)]
         )
-        # also ensure original dead tasks past nbc segments are dropped
     a_idx = a_idx.reshape(nchunks, chunk)
     b_idx = b_idx.reshape(nchunks, chunk)
     c_seg = c_seg.reshape(nchunks, chunk)
 
-    # Precision policy: f32 inputs must multiply at full f32 precision to
-    # match the scipy oracle (TPU MXU otherwise decomposes into bf16
-    # passes); bf16 inputs use the native bf16-multiply/f32-accumulate path
-    # — the TPU analogue of the reference's fp16 x fp16 -> fp32 wmma regime.
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if a_dense.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
-
     def step(acc, operands):
         ai, bi, cs = operands
-        blk_a = jnp.take(a_dense, ai, axis=0)
-        blk_b = jnp.take(b_dense, bi, axis=0)
-        contrib = jnp.einsum(
-            "tij,tjk->tik",
-            blk_a,
-            blk_b,
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        # Tasks are sorted by C key, so chunk index spans are bounded for
+        # clustered matrices -> MXU one-hot gather instead of row gathers.
+        blk_a = gather_rows(a_flat, ai, a_span)             # (chunk, 64)
+        blk_b = gather_rows(b_flat, bi, b_span)             # (chunk, 64)
+        contrib = block_matmul_flat(blk_a, blk_b, b_transposed=False)
         acc = acc + jax.ops.segment_sum(
             contrib, cs, num_segments=num_c_blocks
         )
         return acc, None
 
-    init = jnp.zeros((num_c_blocks, 8, 8), jnp.float32)
+    init = jnp.zeros((num_c_blocks, 64), jnp.float32)
     if nchunks == 1:
         acc, _ = step(init, (a_idx[0], b_idx[0], c_seg[0]))
         return acc
@@ -271,24 +267,27 @@ def _numeric_xla(
     return acc
 
 
-@partial(jax.jit, static_argnames=("num_c_blocks", "num_c_nnz", "impl"))
+@partial(
+    jax.jit,
+    static_argnames=("num_c_blocks", "num_c_nnz", "impl", "a_span", "b_span"),
+)
 def _numeric_and_compress(
-    a: BmSparse, b: BmSparse,
+    a_flat: jax.Array, b_flat: jax.Array,
     a_idx: jax.Array, b_idx: jax.Array, c_seg: jax.Array,
     c_hi: jax.Array, c_lo: jax.Array, c_offsets: jax.Array,
     num_c_blocks: int, num_c_nnz: int, impl: str,
+    a_span: int = 0, b_span: int = 0,
 ):
-    a_dense = a.decompress_blocks()
-    b_dense = b.decompress_blocks()
     if impl == "pallas":
         from .pallas.spgemm_kernel import numeric_pallas
 
         c_dense = numeric_pallas(
-            a_dense, b_dense, a_idx, b_idx, c_seg, num_c_blocks
+            a_flat, b_flat, a_idx, b_idx, c_seg, num_c_blocks
         )
     else:
         c_dense = _numeric_xla(
-            a_dense, b_dense, a_idx, b_idx, c_seg, num_c_blocks
+            a_flat, b_flat, a_idx, b_idx, c_seg, num_c_blocks,
+            a_span, b_span,
         )
 
     # Compress through C's structural bitmap (row-major / untransposed):
@@ -301,9 +300,8 @@ def _numeric_and_compress(
         c_offsets[:num_c_blocks, None] + slot,
         num_c_nnz,  # out of range -> dropped
     )
-    flat_vals = c_dense.reshape(num_c_blocks, 64)
     c_values = jnp.zeros((num_c_nnz,), jnp.float32).at[pos.reshape(-1)].set(
-        flat_vals.reshape(-1), mode="drop"
+        c_dense.reshape(-1), mode="drop"
     )
     return c_values
 
@@ -312,8 +310,8 @@ def _numeric_and_compress(
 # Public entry points
 # ---------------------------------------------------------------------------
 def spgemm(
-    a: BmSparse,
-    b: BmSparse,
+    a,
+    b,
     impl: str | None = None,
     verbose: bool | None = None,
 ) -> BmSparse:
@@ -321,7 +319,15 @@ def spgemm(
 
     Mirrors the reference driver defaults: A untransposed, B in transposed
     intra-block layout (ref: src/bmSparse_SPGEMM.cu:1261-1262), fp32 output.
+    Operands may be BmSparse or Prepared (ops.plan.prepare) — pass Prepared
+    when reusing a matrix across calls to amortize decompression.
     """
+    from .gather import chunk_span, pick_span
+    from .plan import Prepared, as_matrix, prepare
+
+    a_prep = a if isinstance(a, Prepared) else None
+    b_prep = b if isinstance(b, Prepared) else None
+    a, b = as_matrix(a), as_matrix(b)
     _check_operands(a, b)
     cfg = get_config()
     impl = impl or (cfg.spgemm_impl if cfg.spgemm_impl != "auto" else "xla")
@@ -361,11 +367,21 @@ def spgemm(
     nbc_pad = max(nbc_pad, num_c_blocks, 1)
     nnz_pad = max(bucket_size(max(num_c_nnz, 1)), 1)
 
+    # Decompress once (amortized if operands came in Prepared); measure the
+    # task-gather spans so the numeric phase can use MXU one-hot gathers.
+    a_flat = (a_prep.dense_flat if a_prep is not None
+              else a.decompress_blocks_flat())
+    b_flat = (b_prep.dense_flat if b_prep is not None
+              else b.decompress_blocks_flat())
+    a_span = pick_span(int(chunk_span(a_idx)))
+    b_span = pick_span(int(chunk_span(b_idx)))
+
     with timer.phase("T_9"):
         c_values = _numeric_and_compress(
-            a, b, a_idx, b_idx, c_seg,
+            a_flat, b_flat, a_idx, b_idx, c_seg,
             c_hi, c_lo, c_off,
             nbc_pad, nnz_pad, impl,
+            a_span, b_span,
         )
     timer.report()
 
@@ -411,7 +427,8 @@ def spgemm_padded(
     )
     k = min(max_c_blocks, max_tasks)
     c_values = _numeric_and_compress(
-        a, b, a_idx, b_idx, c_seg,
+        a.decompress_blocks_flat(), b.decompress_blocks_flat(),
+        a_idx, b_idx, c_seg,
         c_hi[:k], c_lo[:k], c_off[:k],
         k, max_c_nnz, impl,
     )

@@ -38,8 +38,16 @@ from ..config import BLOCK_HEIGHT, BLOCK_WIDTH, get_config
 from ..format.bmsparse import BmSparse, cdiv
 
 
+# Blocks decompressed per scan step; bounds the (chunk, 64) working set to
+# a few MB regardless of matrix size (layout note in format/blockops.py).
+_SPMV_CHUNK = 1 << 17
+
+
 @jax.jit
 def _spmv_xla(m: BmSparse, v: jax.Array) -> jax.Array:
+    from ..format import bitmap as bm
+    from ..format.blockops import block_matvec_flat
+
     nbr = m.block_rows
     # Pad (or trim) v to whole blocks so per-block gathers are in-bounds;
     # the multi-chip path passes an all-gathered v that may be longer.
@@ -48,49 +56,125 @@ def _spmv_xla(m: BmSparse, v: jax.Array) -> jax.Array:
         vpad = v[:n]
     else:
         vpad = jnp.zeros((n,), v.dtype).at[: v.shape[0]].set(v)
-
-    dense = m.decompress_blocks()                           # (nb, 8, 8)
-    vseg = vpad[m.bcol[:, None] * BLOCK_WIDTH
-                + jnp.arange(BLOCK_WIDTH)[None, :]]         # (nb, 8)
     acc_dtype = jnp.promote_types(m.dtype, jnp.float32)
-    # f32 data must not be decomposed into bf16 MXU passes (oracle parity);
-    # bf16 data uses the native multiply path with f32 accumulation.
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if dense.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
-    contrib = jnp.einsum(
-        "nij,nj->ni",
-        dense.astype(acc_dtype) if dense.dtype != jnp.bfloat16 else dense,
-        vseg.astype(acc_dtype) if vseg.dtype != jnp.bfloat16 else vseg,
-        preferred_element_type=acc_dtype,
-        precision=precision,
-    )                                                       # (nb, 8)
-    # Padding blocks have brow == nbr (sentinel) -> dropped by num_segments.
-    u_blocks = jax.ops.segment_sum(contrib, m.brow, num_segments=nbr)
-    return u_blocks.reshape(nbr * BLOCK_HEIGHT)[: m.num_rows].astype(v.dtype)
+    values = m.values
+    nnz_pad = m.nnz_pad
+
+    def chunk_contrib(hi, lo, off, bcol, brow, u):
+        bits = bm.expand_bits(hi, lo)                       # (c, 64)
+        slot = bm.prefix_popcount(bits)
+        idx = jnp.clip(off[:, None] + slot, 0, nnz_pad - 1)
+        dense = jnp.where(bits > 0, jnp.take(values, idx, axis=0), 0)
+        # storage is row-major (SpMV requires untransposed matrices)
+        vseg = vpad[
+            bcol[:, None] * BLOCK_WIDTH + jnp.arange(BLOCK_WIDTH)[None, :]
+        ]
+        contrib = block_matvec_flat(dense, vseg, acc_dtype)  # (c, 8)
+        # Padding blocks carry the brow sentinel -> dropped by num_segments.
+        return u + jax.ops.segment_sum(contrib, brow, num_segments=nbr)
+
+    nb = m.nb_pad
+    u0 = jnp.zeros((nbr, BLOCK_HEIGHT), acc_dtype)
+    if nb <= _SPMV_CHUNK:
+        u = chunk_contrib(m.bmp_hi, m.bmp_lo, m.offsets, m.bcol, m.brow, u0)
+    else:
+        chunk = _SPMV_CHUNK
+        nchunks = -(-nb // chunk)
+        pad = nchunks * chunk - nb
+
+        def padded(x, fill):
+            return jnp.concatenate(
+                [x, jnp.full((pad,), fill, x.dtype)]
+            ).reshape(nchunks, chunk)
+
+        hi = padded(m.bmp_hi, 0)
+        lo = padded(m.bmp_lo, 0)
+        off = padded(m.offsets, 0)
+        bcol = padded(m.bcol, 0)
+        brow = padded(m.brow, nbr)  # sentinel -> dropped
+
+        def step(u, xs):
+            return chunk_contrib(*xs, u), None
+
+        u, _ = jax.lax.scan(step, u0, (hi, lo, off, bcol, brow))
+    return u.reshape(nbr * BLOCK_HEIGHT)[: m.num_rows].astype(v.dtype)
 
 
-def spmv(m: BmSparse, v: jax.Array, impl: str | None = None) -> jax.Array:
+@jax.jit
+def _spmv_prepared(p, v: jax.Array) -> jax.Array:
+    """Tiered gather-free SpMV on a Prepared matrix (see ops/plan.py).
+
+    Window tier: wb shifted fused multiply-reduce passes — pure VPU, no
+    gathers, no segment reduction (the TPU answer to the reference's
+    per-strip shmem kernel, ref: src/bmSparse_SPMV.cu:153-189).
+    Generic tier: one-hot MXU span-gather of v segments + segment_sum.
+    """
+    from ..format.blockops import block_matvec_flat, tile8
+    from .gather import gather_rows
+
+    m = p.m
+    nbr = m.block_rows
+    nbc = m.block_cols
+    n = nbc * BLOCK_WIDTH
+    if v.shape[0] >= n:
+        vpad = v[:n]
+    else:
+        vpad = jnp.zeros((n,), v.dtype).at[: v.shape[0]].set(v)
+    vblocks = vpad.reshape(nbc, BLOCK_WIDTH).astype(jnp.float32)
+    acc = jnp.zeros((nbr, BLOCK_HEIGHT), jnp.float32)
+
+    if p.wb:
+        # shifted-slice window: slot (r, w) multiplies v block r + w0 + w
+        lo = p.w0
+        hi = nbr - 1 + p.w0 + p.wb - 1
+        lead = max(0, -lo)
+        vbp = jnp.zeros((lead + max(nbc, hi + 1), BLOCK_WIDTH), jnp.float32)
+        vbp = vbp.at[lead : lead + nbc].set(vblocks)
+        for w in range(p.wb):
+            start = lead + lo + w
+            vsl = jax.lax.slice(vbp, (start, 0), (start + nbr, BLOCK_WIDTH))
+            dense_w = p.win_dense[:, w * 64 : (w + 1) * 64]
+            acc = acc + block_matvec_flat(dense_w, vsl)
+
+    if p.nrem:
+        vseg = gather_rows(vblocks, p.rem_bcol, p.vspan, p.tc)
+        contrib = block_matvec_flat(p.rem_dense, vseg)
+        acc = acc + jax.ops.segment_sum(
+            contrib, p.rem_brow, num_segments=nbr
+        )
+    return acc.reshape(nbr * BLOCK_HEIGHT)[: m.num_rows].astype(v.dtype)
+
+
+def spmv(m, v: jax.Array, impl: str | None = None) -> jax.Array:
     """u = A @ v.
 
     Args:
-      m: BmSparse matrix (untransposed intra-block layout).
+      m: BmSparse matrix (untransposed intra-block layout), or a Prepared
+        plan from ops.plan.prepare() — strongly recommended on TPU (the
+        raw-container path decompresses via XLA gathers every call).
       v: dense vector of length m.num_cols.
       impl: "xla" | "pallas" | None (config default / auto).
     """
+    from .plan import Prepared
+
     if m.transposed:
         raise ValueError("SpMV expects an untransposed (row-major) matrix")
     if v.shape[0] != m.num_cols:
         raise ValueError(f"v has length {v.shape[0]}, expected {m.num_cols}")
     impl = impl or get_config().spmv_impl
+    if isinstance(m, Prepared):
+        if impl == "pallas":
+            from .pallas.spmv_kernel import spmv_pallas
+
+            return spmv_pallas(m, v)
+        return _spmv_prepared(m, v)
     if impl in ("auto", "xla"):
         return _spmv_xla(m, v)
     if impl == "pallas":
         from .pallas.spmv_kernel import spmv_pallas
+        from .plan import prepare
 
-        return spmv_pallas(m, v)
+        return spmv_pallas(prepare(m), v)
     raise ValueError(f"unknown SpMV impl {impl!r}")
 
 

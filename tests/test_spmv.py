@@ -57,6 +57,43 @@ def test_spmv_bf16():
     np.testing.assert_allclose(u, ref @ v, rtol=0.05, atol=0.1)
 
 
+@pytest.mark.parametrize(
+    "shape,density",
+    [((24, 24), 0.15), ((64, 64), 0.1), ((100, 52), 0.07), ((333, 217), 0.03)],
+)
+def test_spmv_prepared_matches(shape, density):
+    # tiered plan (window + remainder) must agree with the direct path
+    from bmsparse_tpu.ops.plan import prepare
+
+    rows, cols, vals = random_coo(*shape, density=density, seed=hash(shape) % 991)
+    ref = sp.csr_matrix((vals, (rows, cols)), shape=shape)
+    m = coo_to_bmsparse(rows, cols, vals, shape)
+    p = prepare(m)
+    v = np.random.default_rng(7).standard_normal(shape[1]).astype(np.float32)
+    u = np.asarray(spmv(p, jnp.asarray(v)))
+    np.testing.assert_allclose(u, ref @ v, rtol=1e-4, atol=1e-5)
+
+
+def test_spmv_prepared_banded():
+    # strongly banded matrix: everything should land in the window tier
+    from bmsparse_tpu.ops.plan import prepare
+
+    n = 512
+    rng = np.random.default_rng(9)
+    rows = np.repeat(np.arange(n), 3)
+    cols = np.clip(rows + rng.integers(-4, 5, size=rows.shape[0]), 0, n - 1)
+    key = np.unique(rows * n + cols)
+    rows, cols = np.divmod(key, n)
+    vals = rng.standard_normal(len(rows)).astype(np.float32)
+    ref = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+    m = coo_to_bmsparse(rows.astype(np.int32), cols.astype(np.int32), vals, (n, n))
+    p = prepare(m)
+    assert p.wb > 0
+    v = rng.standard_normal(n).astype(np.float32)
+    u = np.asarray(spmv(p, jnp.asarray(v)))
+    np.testing.assert_allclose(u, ref @ v, rtol=1e-4, atol=1e-5)
+
+
 def test_csr_spmv(ragusa16):
     csr = CSRMatrix.from_scipy(ragusa16.astype(np.float32))
     v = np.random.default_rng(3).standard_normal(ragusa16.shape[1]).astype(np.float32)
