@@ -123,6 +123,22 @@ def coo_to_bmsparse(
     n = int(rows.shape[0])
     num_block_rows = cdiv(shape[0], BLOCK_HEIGHT)
 
+    if n == 0:
+        # Degenerate but legal (e.g. an empty shard after partitioning):
+        # one padding block, zero values.
+        dtype = vals.dtype if jnp.issubdtype(vals.dtype, jnp.floating) else jnp.float32
+        return BmSparse(
+            brow=jnp.full((1,), num_block_rows, jnp.int32),
+            bcol=jnp.zeros((1,), jnp.int32),
+            bmp_hi=jnp.zeros((1,), jnp.uint32),
+            bmp_lo=jnp.zeros((1,), jnp.uint32),
+            offsets=jnp.zeros((1,), jnp.int32),
+            values=jnp.zeros((1,), dtype),
+            nb=jnp.int32(0),
+            num_rows=shape[0], num_cols=shape[1], nnz=0,
+            transposed=transposed,
+        )
+
     brow, bcol, hi, lo, offsets, values, nb = _coo_to_bmsparse_core(
         rows, cols, vals, transposed, num_block_rows
     )

@@ -2,27 +2,32 @@
 
 The reference decompresses blocks inside every kernel launch via
 prefix-popcount shared-memory staging (ref: src/bmSparse_SPGEMM.cu:152-162)
-— cheap on a GPU's gather hardware, pathological on TPU (~6M row-gathers/s
-through XLA, measured). The TPU-native design moves all data-dependent
-addressing into a one-time `prepare()` step and leaves the per-call op
-with dense, fully-vectorizable work:
+and reduces per-row partials with warp shuffles
+(ref: src/bmSparse_SPMV.cu:172-187) — cheap on a GPU, pathological on TPU:
+measured on v5e, XLA row gathers run ~1 Grow/s, lane gathers ~0.4 Grow/s,
+and segment_sum (scatter-add) a catastrophic ~0.08 Gblk/s, while plain
+fused multiply-reduce streams at ~465 GB/s. The TPU-native design therefore
+moves ALL data-dependent addressing into a one-time `prepare()` step and
+reshapes the per-call op so that the only remaining dynamic access is one
+bounded gather of v:
 
-Tier 1 — window (banded) tier: blocks whose column offset from the
-  diagonal falls in a small window [w0, w0+Wb) are scattered once into a
-  dense (block_rows, Wb, 64) strip. SpMV on this tier is Wb fused
-  multiply-reduce passes against shifted slices of v: zero gathers, zero
-  scatters, no segment reduction — pure VPU at HBM-roofline traffic. This
-  is the TPU analogue of a DIA format specialized to 8x8 tiles, chosen
-  because most SuiteSparse/PDE matrices are diagonally clustered.
+Tier 1 — DIA (scalar diagonals): diagonals whose fill fraction exceeds
+  `DIA_MIN_FILL` are extracted into a dense (ndiags, n) strip. Their SpMV
+  contribution is ndiags shifted fused multiply-adds over n-lane rows:
+  zero gathers, zero scatters, pure VPU at HBM-roofline traffic. This is
+  the TPU analogue of a DIA format, chosen because SuiteSparse/PDE
+  matrices are diagonally clustered.
 
-Tier 2 — generic tier: leftover blocks keep the bmSparse layout; their v
-  segments are fetched with the chunked one-hot MXU span_gather
-  (ops/gather.py) and reduced with segment_sum. Handles arbitrary
-  structure; slower per block.
+Tier 2 — SELL (sliced-ELL over 8x8 blocks, C = 128 lanes): remaining
+  blocks are organized with the *block-row index on the 128-lane axis*.
+  Block rows are sorted by block count (SELL-sigma), grouped into chunks
+  of 128 rows, and each chunk padded to its (bucketed) max count K. The
+  per-row reduction becomes a dense sum over the K axis — segment_sum is
+  eliminated. The only dynamic access left is the gather of v block
+  segments (one jnp.take along lanes per K-group) and the final
+  inverse-permutation row gather.
 
-The split is chosen once per matrix from the block column-offset
-histogram (`_choose_window`). A Prepared object is a pytree and feeds
-jitted ops and shard_map directly.
+A Prepared object is a pytree and feeds jitted ops and shard_map directly.
 """
 
 from __future__ import annotations
@@ -33,112 +38,182 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..format.bmsparse import BmSparse
-from .gather import DEFAULT_TC, chunk_span, pick_span
+from ..config import BLOCK_HEIGHT, BLOCK_WIDTH
+from ..format.bmsparse import BmSparse, cdiv
 
-_WB_CANDIDATES = (1, 2, 4, 8, 16, 32)
-_MIN_WINDOW_COVERAGE = 0.4
+SELL_C = 128                 # lanes per chunk = VPU lane width
+DIA_MIN_FILL = 0.15          # min diagonal fill to justify a dense pass
+MAX_DIAGS = 128              # cap on extracted diagonals
+_K_BUCKETS = tuple(
+    sorted({1, 2, 3} | {m for b in range(2, 16) for m in ((1 << b), 3 << (b - 1))})
+)
+
+
+def _bucket_k(k: int) -> int:
+    for b in _K_BUCKETS:
+        if b >= k:
+            return b
+    return k
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Prepared:
-    """A BmSparse plus its decompressed tiles and tiered execution plan."""
+    """A BmSparse plus its tiered, TPU-layout execution plan."""
 
     m: BmSparse
-    dense_flat: jax.Array        # (nb_pad, 64) row-major slots (all blocks)
+    dense_flat: jax.Array        # (nb_pad, 64) row-major slots (SpGEMM reuse)
 
-    # --- window tier (wb == 0 disables it) ---
-    win_dense: jax.Array = None  # (block_rows, wb*64) f32
-    wb: int = dataclasses.field(metadata=dict(static=True), default=0)
-    w0: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # --- DIA tier (None disables) ---
+    dia: jax.Array | None = None          # (nd, npad) f32, npad = block_rows*8
+    dia_offsets: tuple = dataclasses.field(
+        metadata=dict(static=True), default=())
 
-    # --- generic tier (remainder blocks; nrem == 0 disables it) ---
-    rem_dense: jax.Array = None  # (nrem_pad, 64)
-    rem_bcol: jax.Array = None   # (nrem_pad,) sanitized (no wild padding)
-    rem_brow: jax.Array = None   # (nrem_pad,) padding -> sentinel block_rows
-    vspan: int = dataclasses.field(metadata=dict(static=True), default=0)
-    tc: int = dataclasses.field(metadata=dict(static=True), default=DEFAULT_TC)
-    nrem: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # --- SELL tier: groups of 128-row chunks sharing padded depth K ---
+    # sell_dense[g]: (chunks_g, K_g, 8, 8, 128) f32, slots [k, j, i, lane]
+    # sell_bcol[g]:  (chunks_g, K_g, 128) int32, padding -> block_cols
+    sell_dense: tuple = ()
+    sell_bcol: tuple = ()
+    sell_ks: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    # Row map: block-row r's SELL output lives at stacked row out_gather[r];
+    # rows with no SELL blocks point past the end (taken with fill=0).
+    out_gather: jax.Array | None = None   # (block_rows,) int32
+    sell_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     def __getattr__(self, name):
         return getattr(object.__getattribute__(self, "m"), name)
 
 
-def _choose_window(brow: np.ndarray, bcol: np.ndarray) -> tuple[int, int, float]:
-    """Pick (w0, Wb) maximizing covered blocks with a small window.
-
-    Returns (w0, wb, coverage); wb == 0 when no candidate covers enough.
-    """
-    if len(brow) == 0:
-        return 0, 0, 0.0
-    dev = bcol.astype(np.int64) - brow.astype(np.int64)
-    lo, hi = int(dev.min()), int(dev.max())
-    hist = np.bincount((dev - lo).astype(np.int64), minlength=hi - lo + 1)
-    csum = np.concatenate([[0], np.cumsum(hist)])
-    best = (0, 0, 0.0)
-    for wb in _WB_CANDIDATES:
-        if wb > len(hist):
-            cov = 1.0
-            w0 = lo
-        else:
-            # best contiguous window of width wb over the histogram
-            wins = csum[wb:] - csum[:-wb]
-            k = int(np.argmax(wins))
-            cov = wins[k] / len(dev)
-            w0 = lo + k
-        # prefer the smallest window that captures most blocks; wider
-        # windows must earn their 2x slot cost with real extra coverage
-        if cov >= _MIN_WINDOW_COVERAGE and (
-            best[1] == 0 or cov > best[2] + 0.05
-        ):
-            best = (int(w0), int(wb), float(cov))
-    return best
+def _choose_diagonals(
+    rows: np.ndarray, cols: np.ndarray, n_rows: int, n_cols: int
+) -> np.ndarray:
+    """Offsets of diagonals dense enough for the DIA tier."""
+    if len(rows) == 0:
+        return np.empty((0,), np.int64)
+    dev = cols.astype(np.int64) - rows.astype(np.int64)
+    offs, counts = np.unique(dev, return_counts=True)
+    # diag o holds (i, i+o) for i in [max(0,-o), min(n_rows, n_cols-o))
+    length = np.minimum(n_rows, n_cols - offs) - np.maximum(0, -offs)
+    fill = counts / np.maximum(length, 1)
+    keep = offs[fill >= DIA_MIN_FILL]
+    if len(keep) > MAX_DIAGS:
+        order = np.argsort(fill[np.isin(offs, keep)])[::-1]
+        keep = keep[order[:MAX_DIAGS]]
+    return np.sort(keep)
 
 
-def prepare(m: BmSparse, tc: int = DEFAULT_TC) -> Prepared:
-    """Build the tiered execution plan (a few host syncs, once per matrix)."""
+def prepare(m: BmSparse, dtype=jnp.float32) -> Prepared:
+    """Build the tiered execution plan (host-side numpy, once per matrix)."""
     if isinstance(m, Prepared):
         return m
-    dense = m.decompress_blocks_flat().astype(jnp.float32)
-    nb = int(m.nb)
-    brow_h = np.asarray(m.brow[:nb])
-    bcol_h = np.asarray(m.bcol[:nb])
+    dense_flat = m.decompress_blocks_flat().astype(jnp.float32)
 
-    w0, wb, _cov = _choose_window(brow_h, bcol_h)
+    rows, cols, vals = m.generate_coo()
+    rows = rows.astype(np.int64)
+    cols = cols.astype(np.int64)
+    vals = vals.astype(np.float32)
     nbr = m.block_rows
+    nbc = m.block_cols
+    npad = nbr * BLOCK_HEIGHT
 
-    win_dense = None
-    if wb:
-        dev = bcol_h.astype(np.int64) - brow_h.astype(np.int64) - w0
-        in_win = (dev >= 0) & (dev < wb)
-        win_idx = np.nonzero(in_win)[0]
-        slot = brow_h[win_idx] * wb + dev[win_idx]
-        win_dense = (
-            jnp.zeros((nbr * wb, 64), jnp.float32)
-            .at[jnp.asarray(slot)]
-            .set(dense[jnp.asarray(win_idx)])
-            .reshape(nbr, wb * 64)
+    # ---- Tier 1: extract dense diagonals --------------------------------
+    dia = None
+    dia_offsets: tuple = ()
+    if len(rows):
+        offs = _choose_diagonals(rows, cols, m.num_rows, m.num_cols)
+        if len(offs):
+            dev = cols - rows
+            on_dia = np.isin(dev, offs)
+            off_to_slot = {int(o): i for i, o in enumerate(offs)}
+            d_slot = np.array(
+                [off_to_slot[int(o)] for o in dev[on_dia]], np.int64
+            )
+            dia_np = np.zeros((len(offs), npad), np.float32)
+            dia_np[d_slot, rows[on_dia]] = vals[on_dia]
+            dia = jnp.asarray(dia_np)
+            dia_offsets = tuple(int(o) for o in offs)
+            rows, cols, vals = rows[~on_dia], cols[~on_dia], vals[~on_dia]
+
+    # ---- Tier 2: SELL-C-128 over the remaining blocks -------------------
+    sell_dense: list = []
+    sell_bcol: list = []
+    sell_ks: list = []
+    out_gather = None
+    sell_rows = 0
+    if len(rows):
+        br = rows >> 3
+        bc = cols >> 3
+        # slot order (j, i): sublane j*8+i so the j-contraction is a
+        # contiguous 8-sublane slice per term.
+        slot = (cols & 7) * 8 + (rows & 7)
+        bid = br * nbc + bc
+        order = np.argsort(bid, kind="stable")
+        br, bc, slot, vals, bid = (
+            x[order] for x in (br, bc, slot, vals, bid)
         )
-        rem_idx = np.nonzero(~in_win)[0]
-    else:
-        rem_idx = np.arange(nb)
+        ublocks, binv = np.unique(bid, return_inverse=True)
+        ubr = (ublocks // nbc).astype(np.int64)
+        ubc = (ublocks % nbc).astype(np.int64)
+        row_count = np.bincount(ubr, minlength=nbr)
 
-    nrem = len(rem_idx)
-    rem_dense = rem_bcol = rem_brow = None
-    vspan = 0
-    if nrem:
-        ridx = jnp.asarray(rem_idx.astype(np.int32))
-        rem_dense = jnp.take(dense, ridx, axis=0)
-        rem_bcol = jnp.asarray(bcol_h[rem_idx].astype(np.int32))
-        rem_brow = jnp.asarray(brow_h[rem_idx].astype(np.int32))
-        vspan = pick_span(int(chunk_span(rem_bcol, tc)))
+        # SELL-sigma: sort block rows by descending count; empty rows drop.
+        nonempty = np.nonzero(row_count)[0]
+        perm = nonempty[np.argsort(-row_count[nonempty], kind="stable")]
+        row_pos = np.full((nbr,), -1, np.int64)
+        row_pos[perm] = np.arange(len(perm))
+
+        nchunks = cdiv(len(perm), SELL_C)
+        counts_sorted = row_count[perm]
+        # per-chunk padded depth, bucketed to bound the number of groups
+        k_chunk = np.zeros((nchunks,), np.int64)
+        for c in range(nchunks):
+            k_chunk[c] = _bucket_k(
+                int(counts_sorted[c * SELL_C : (c + 1) * SELL_C].max())
+            )
+        # counts sorted desc => k_chunk non-increasing => groups contiguous
+        # per-block placement: chunk, lane, k-rank within its row
+        p = row_pos[ubr]                       # position in sorted row order
+        chunk = p // SELL_C
+        lane = p % SELL_C
+        # rank of block within its row (blocks are bcol-sorted per row
+        # because ublocks is sorted by bid = br*nbc+bc)
+        row_start_in_ublocks = np.searchsorted(ubr, ubr)  # first idx of row
+        krank = np.arange(len(ubr)) - row_start_in_ublocks
+
+        boundaries = np.nonzero(np.diff(k_chunk))[0] + 1
+        group_starts = np.concatenate([[0], boundaries, [nchunks]])
+        for gi in range(len(group_starts) - 1):
+            c0, c1 = int(group_starts[gi]), int(group_starts[gi + 1])
+            kg = int(k_chunk[c0])
+            sel = (chunk >= c0) & (chunk < c1)
+            ub_sel = np.nonzero(sel)[0]
+            ch_g = c1 - c0
+            dense_g = np.zeros((ch_g, kg, 64, SELL_C), np.float32)
+            bcol_g = np.full((ch_g, kg, SELL_C), nbc, np.int32)
+            cl = (chunk[ub_sel] - c0).astype(np.int64)
+            kk = krank[ub_sel]
+            ll = lane[ub_sel]
+            bcol_g[cl, kk, ll] = ubc[ub_sel]
+            # scatter scalars of the selected blocks
+            s_sel = sel[binv]
+            loc = np.searchsorted(ub_sel, binv[s_sel])
+            dense_g[cl[loc], kk[loc], slot[s_sel], ll[loc]] = vals[s_sel]
+            sell_dense.append(
+                jnp.asarray(dense_g.reshape(ch_g, kg, 8, 8, SELL_C))
+            )
+            sell_bcol.append(jnp.asarray(bcol_g))
+            sell_ks.append(kg)
+
+        sell_rows = nchunks * SELL_C
+        og = np.where(row_pos >= 0, row_pos, sell_rows).astype(np.int32)
+        out_gather = jnp.asarray(og)
 
     return Prepared(
-        m=m, dense_flat=dense,
-        win_dense=win_dense, wb=wb, w0=w0,
-        rem_dense=rem_dense, rem_bcol=rem_bcol, rem_brow=rem_brow,
-        vspan=vspan, tc=tc, nrem=nrem,
+        m=m, dense_flat=dense_flat,
+        dia=dia, dia_offsets=dia_offsets,
+        sell_dense=tuple(sell_dense), sell_bcol=tuple(sell_bcol),
+        sell_ks=tuple(sell_ks),
+        out_gather=out_gather, sell_rows=sell_rows,
     )
 
 

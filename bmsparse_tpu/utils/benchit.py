@@ -41,29 +41,44 @@ def ensure_handshake() -> float:
 
 
 def time_chain(step_fn, x0, iters: int = 30, reps: int = 3, args=()) -> float:
-    """Median per-iteration seconds of `x = step_fn(x, *args)` chained
-    `iters` times in one dispatch. `step_fn` must be shape-preserving and
-    keep a data dependence between iterations.
+    """Median per-iteration seconds of `x = step_fn(x, *args)` chained in
+    one dispatch. `step_fn` must be shape-preserving and keep a data
+    dependence between iterations.
+
+    Methodology: ONE jitted fori_loop with a *dynamic* trip count; the
+    per-iteration time is (t(n_hi) - t(n_lo)) / (n_hi - n_lo), which
+    cancels dispatch/tunnel round-trip latency exactly (measured 28-55 ms
+    and drifting on the axon runtime — differencing is the only reliable
+    scheme at sub-millisecond kernel times). The dynamic trip count also
+    stops XLA from unrolling/specializing across iterations.
 
     Pass large arrays via `args` — NOT via closure: closed-over device
     arrays are serialized into the HLO as constants (the axon remote
     compiler rejects >~100MB programs with HTTP 413)."""
-    baseline = ensure_handshake()
+    ensure_handshake()
 
-    def chained_fn(a, *rest):
+    def chained_fn(a, n, *rest):
         return jax.lax.fori_loop(
-            0, iters, lambda i, s: step_fn(s, *rest), a
+            0, n, lambda i, s: step_fn(s, *rest), a, unroll=False
         )
 
     chained = jax.jit(chained_fn)
-    r = chained(x0, *args)
-    float(jnp.sum(jnp.ravel(jax.tree_util.tree_leaves(r)[0])[:1]))
 
-    times = []
-    for _ in range(reps):
+    def run(n):
         t0 = time.perf_counter()
-        r = chained(x0, *args)
+        r = chained(x0, jnp.int32(n), *args)
         float(jnp.sum(jnp.ravel(jax.tree_util.tree_leaves(r)[0])[:1]))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return max((times[len(times) // 2] - baseline) / iters, 1e-9)
+        return time.perf_counter() - t0
+
+    run(1)  # compile + warm
+    # Calibrate the trip count so the chain runs ~150 ms on device — the
+    # RTT variance (several ms) must be negligible against the signal.
+    est = max((run(64) - run(2)) / 62, 1e-7)
+    n = int(min(max(0.15 / est, 64), 100_000))
+    deltas = []
+    for _ in range(reps):
+        t_lo = run(2)
+        t_hi = run(2 + n)
+        deltas.append((t_hi - t_lo) / n)
+    deltas.sort()
+    return max(deltas[len(deltas) // 2], 1e-9)

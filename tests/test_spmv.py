@@ -75,7 +75,7 @@ def test_spmv_prepared_matches(shape, density):
 
 
 def test_spmv_prepared_banded():
-    # strongly banded matrix: everything should land in the window tier
+    # strongly banded matrix: most nnz should land in the DIA tier
     from bmsparse_tpu.ops.plan import prepare
 
     n = 512
@@ -88,10 +88,29 @@ def test_spmv_prepared_banded():
     ref = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
     m = coo_to_bmsparse(rows.astype(np.int32), cols.astype(np.int32), vals, (n, n))
     p = prepare(m)
-    assert p.wb > 0
+    assert len(p.dia_offsets) > 0
     v = rng.standard_normal(n).astype(np.float32)
     u = np.asarray(spmv(p, jnp.asarray(v)))
     np.testing.assert_allclose(u, ref @ v, rtol=1e-4, atol=1e-5)
+
+
+def test_spmv_prepared_empty_and_tiny():
+    # empty matrix and single-block-row matrices go through the plan path
+    from bmsparse_tpu.ops.plan import prepare
+
+    e = coo_to_bmsparse(
+        np.empty(0, np.int32), np.empty(0, np.int32),
+        np.empty(0, np.float32), (16, 16),
+    )
+    u = np.asarray(spmv(prepare(e), jnp.ones(16)))
+    assert u.shape == (16,) and np.all(u == 0)
+
+    b = coo_to_bmsparse(
+        np.zeros(5, np.int32), (np.arange(5, dtype=np.int32) * 7),
+        np.ones(5, np.float32), (1, 40),
+    )
+    u = np.asarray(spmv(prepare(b), jnp.ones(40)))
+    assert u.shape == (1,) and u[0] == 5.0
 
 
 def test_csr_spmv(ragusa16):
