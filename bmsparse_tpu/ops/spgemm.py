@@ -212,7 +212,137 @@ def _c_symbolic(
 
 
 # ---------------------------------------------------------------------------
-# Numeric phase
+# Numeric phase — task-SELL layout (the fast path)
+# ---------------------------------------------------------------------------
+# The reference's numeric kernels walk each C block's task span with a warp
+# (ref: src/bmSparse_SPGEMM.cu:205-733). The TPU-native equivalent puts the
+# C block on the 128-lane axis: C blocks are sigma-sorted by task count,
+# grouped into chunks of 128, and each chunk padded to its (bucketed) max
+# task count K. The per-C-block accumulation is then a dense sum over the K
+# axis — no segment_sum (measured ~0.08 Gblk/s on v5e, the dominant cost of
+# the naive formulation). A/B tiles are fetched with lane-gathers from
+# transposed (64, nb+1) tables (~0.5 Gidx/s, the fastest dynamic access
+# XLA offers on TPU).
+
+_SELL_SLAB = 64          # chunks per scan slab (bounds gather transients)
+_K_BUCKETS = tuple(
+    sorted({1, 2, 3} | {m for b in range(2, 21) for m in ((1 << b), 3 << (b - 1))})
+)
+
+
+def _bucket_k(k: int) -> int:
+    for b in _K_BUCKETS:
+        if b >= k:
+            return b
+    return k
+
+
+def _plan_task_sell(c_seg_h, a_idx_h, b_idx_h, nbc: int, sent_a: int, sent_b: int):
+    """Host-side numeric plan: distribute sorted tasks into per-C-block
+    SELL slots. Returns (groups, order) where groups is a list of
+    (ta, tb) int32 arrays of shape (chunks_g, K_g, 128) and order is the
+    sigma permutation (position p in SELL space holds C block order[p])."""
+    import numpy as np
+
+    counts = np.bincount(c_seg_h, minlength=nbc).astype(np.int64)
+    order = np.argsort(-counts, kind="stable")
+    pos = np.empty(nbc, np.int64)
+    pos[order] = np.arange(nbc)
+    nchunks = -(-nbc // 128)
+    counts_sorted = counts[order]
+    k_chunk = np.empty(nchunks, np.int64)
+    for c in range(nchunks):
+        k_chunk[c] = _bucket_k(
+            max(int(counts_sorted[c * 128 : (c + 1) * 128].max()), 1)
+        )
+    starts = np.cumsum(counts) - counts
+    t = np.arange(len(c_seg_h))
+    rank = t - starts[c_seg_h]
+    p = pos[c_seg_h]
+    chunk = p // 128
+    lane = p % 128
+
+    boundaries = np.nonzero(np.diff(k_chunk))[0] + 1
+    group_starts = np.concatenate([[0], boundaries, [nchunks]])
+    groups = []
+    for gi in range(len(group_starts) - 1):
+        c0, c1 = int(group_starts[gi]), int(group_starts[gi + 1])
+        kg = int(k_chunk[c0])
+        sel = (chunk >= c0) & (chunk < c1)
+        ta = np.full((c1 - c0, kg, 128), sent_a, np.int32)
+        tb = np.full((c1 - c0, kg, 128), sent_b, np.int32)
+        ta[chunk[sel] - c0, rank[sel], lane[sel]] = a_idx_h[sel]
+        tb[chunk[sel] - c0, rank[sel], lane[sel]] = b_idx_h[sel]
+        groups.append((ta, tb))
+    return groups, order
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _numeric_sell_slab(a_t, b_t, ta, tb, k: int):
+    """Products for (s, k, 128) task slots -> (s*128, 64) row-major tiles.
+
+    a_t/b_t: (64, nb+1) transposed dense tiles with a zero sentinel column;
+    slot layouts [i*8+j] for A, [j*8+m] for B (both row-major).
+    """
+    s = ta.shape[0]
+    ga = jnp.moveaxis(jnp.take(a_t, ta, axis=1), 0, 3)   # (s, k, 128, 64)
+    gb = jnp.moveaxis(jnp.take(b_t, tb, axis=1), 0, 3)
+    ga = jnp.moveaxis(ga, 2, 3).reshape(s, k, 8, 8, 128)  # [., ., i, j, lane]
+    gb = jnp.moveaxis(gb, 2, 3).reshape(s, k, 8, 8, 128)  # [., ., j, m, lane]
+    acc = jnp.zeros((s, k, 8, 8, 128), jnp.float32)
+    for j in range(8):
+        acc = acc + ga[:, :, :, j, None, :] * gb[:, :, None, j, :, :]
+    csum = jnp.sum(acc, axis=1)                          # (s, 8, 8, 128)
+    return jnp.transpose(csum, (0, 3, 1, 2)).reshape(s * 128, 64)
+
+
+def _numeric_sell_group(a_t, b_t, ta, tb) -> jax.Array:
+    """One K-group, scanned in slabs to bound gather transients."""
+    ch, k, _ = ta.shape
+    if ch <= _SELL_SLAB or ch * k * 128 <= _SELL_SLAB * 128 * 8:
+        return _numeric_sell_slab(a_t, b_t, ta, tb, k)
+    slab = max(1, min(_SELL_SLAB, (1 << 16) // max(k, 1)))
+    nsl = -(-ch // slab)
+    pad = nsl * slab - ch
+    if pad:
+        sa = jnp.full((pad, k, 128), a_t.shape[1] - 1, jnp.int32)
+        sb = jnp.full((pad, k, 128), b_t.shape[1] - 1, jnp.int32)
+        ta = jnp.concatenate([ta, sa])
+        tb = jnp.concatenate([tb, sb])
+    ta = ta.reshape(nsl, slab, k, 128)
+    tb = tb.reshape(nsl, slab, k, 128)
+
+    def step(_, ab):
+        return 0, _numeric_sell_slab(a_t, b_t, ab[0], ab[1], k)
+
+    _, out = jax.lax.scan(step, 0, (ta, tb))
+    return out.reshape(nsl * slab * 128, 64)[: ch * 128]
+
+
+@partial(jax.jit, static_argnames=("num_c_nnz",))
+def _compress_sigma(
+    c_rows: jax.Array, order: jax.Array,
+    c_hi: jax.Array, c_lo: jax.Array, c_offsets: jax.Array,
+    num_c_nnz: int,
+) -> jax.Array:
+    """Scatter sigma-ordered dense C tiles into packed values.
+
+    c_rows[p] is the dense tile of C block order[p]; rows past the valid
+    range carry zero bitmaps (fill) and are dropped.
+    """
+    hi = jnp.take(c_hi, order, axis=0, mode="fill", fill_value=0)
+    lo = jnp.take(c_lo, order, axis=0, mode="fill", fill_value=0)
+    off = jnp.take(c_offsets, order, axis=0, mode="fill", fill_value=0)
+    bits = bm.expand_bits(hi, lo)
+    slot = bm.prefix_popcount(bits)
+    pos = jnp.where(bits > 0, off[:, None] + slot, num_c_nnz)
+    return jnp.zeros((num_c_nnz,), jnp.float32).at[pos.reshape(-1)].set(
+        c_rows.reshape(-1), mode="drop"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Numeric phase — chunked segment-sum path (jit-safe; shard_map uses this)
 # ---------------------------------------------------------------------------
 def _numeric_xla(
     a_flat: jax.Array, b_flat: jax.Array,
@@ -367,22 +497,51 @@ def spgemm(
     nbc_pad = max(nbc_pad, num_c_blocks, 1)
     nnz_pad = max(bucket_size(max(num_c_nnz, 1)), 1)
 
-    # Decompress once (amortized if operands came in Prepared); measure the
-    # task-gather spans so the numeric phase can use MXU one-hot gathers.
+    # Decompress once (amortized if operands came in Prepared).
     a_flat = (a_prep.dense_flat if a_prep is not None
               else a.decompress_blocks_flat())
     b_flat = (b_prep.dense_flat if b_prep is not None
               else b.decompress_blocks_flat())
-    a_span = pick_span(int(chunk_span(a_idx)))
-    b_span = pick_span(int(chunk_span(b_idx)))
 
     with timer.phase("T_9"):
-        c_values = _numeric_and_compress(
-            a_flat, b_flat, a_idx, b_idx, c_seg,
-            c_hi, c_lo, c_off,
-            nbc_pad, nnz_pad, impl,
-            a_span, b_span,
-        )
+        if impl in ("xla", "sell", "auto") and num_c_blocks > 0:
+            # task-SELL numeric path (see _plan_task_sell)
+            import numpy as np
+
+            c_seg_h = np.asarray(c_seg[:num_alive])
+            a_idx_h = np.asarray(a_idx[:num_alive])
+            b_idx_h = np.asarray(b_idx[:num_alive])
+            groups, order = _plan_task_sell(
+                c_seg_h, a_idx_h, b_idx_h, num_c_blocks,
+                a_flat.shape[0], b_flat.shape[0],
+            )
+            a_t = jnp.concatenate(
+                [a_flat.astype(jnp.float32).T,
+                 jnp.zeros((64, 1), jnp.float32)], axis=1)
+            b_t = jnp.concatenate(
+                [b_flat.astype(jnp.float32).T,
+                 jnp.zeros((64, 1), jnp.float32)], axis=1)
+            parts = [
+                _numeric_sell_group(a_t, b_t, jnp.asarray(ta), jnp.asarray(tb))
+                for ta, tb in groups
+            ]
+            c_rows = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+            # pad sigma order to the padded SELL row count; out-of-range
+            # indices take the zero-bitmap fill in _compress_sigma
+            order_pad = np.full((c_rows.shape[0],), 2**30, np.int64)
+            order_pad[: len(order)] = order
+            order_d = jnp.asarray(order_pad.astype(np.int32))
+            c_values = _compress_sigma(
+                c_rows, order_d, c_hi, c_lo, c_off, nnz_pad
+            )
+        else:
+            c_values = _numeric_and_compress(
+                a_flat, b_flat, a_idx, b_idx, c_seg,
+                c_hi, c_lo, c_off,
+                nbc_pad, nnz_pad, impl,
+                pick_span(int(chunk_span(a_idx))),
+                pick_span(int(chunk_span(b_idx))),
+            )
     timer.report()
 
     return BmSparse(
