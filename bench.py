@@ -109,14 +109,6 @@ def main():
         rows, cols, vals = gen()
         suite.append((name, coo_to_bmsparse(rows, cols, vals, (n, n))))
 
-    impls = ["xla"]
-    try:
-        from bmsparse_tpu.ops.pallas import spmv_kernel  # noqa: F401
-
-        impls.append("pallas")
-    except Exception:
-        pass
-
     # rand64k is the adversarial case (excluded from the headline, slow to
     # prepare and run) — benchmark it last so the budget goes to the
     # representative cases and SpGEMM first.
@@ -139,6 +131,8 @@ def main():
         roof = rl.roofline_nnz_per_s(min_bytes, nnz, bw)
         mp = prepare(m)
         log(f"{name}: ndiags={len(mp.dia_offsets)} sell_ks={mp.sell_ks}")
+        # the Pallas path differs from XLA only in the DIA tier
+        impls = ["xla"] + (["pallas"] if mp.dia_offsets else [])
         for impl in impls:
             try:
                 step = lambda s, mm: spmv(mm, s, impl=impl) * jnp.float32(1e-2)
@@ -181,11 +175,11 @@ def main():
                 continue
             t_pad = bucket_size(max(ntasks, 1))
             sentinel = m.block_rows + 1
-            a_idx, b_idx, ckr, ckc, nz = sg._build_tasks(
+            a_idx, b_idx, ckr, ckc, t_ph, t_pl, nz = sg._build_tasks(
                 m, bt, offs, brs, total, t_pad, sentinel)
             num_alive = int(nz)
             c_seg, cbrow, cbcol, c_hi, c_lo, c_off, nbc_t, nnzc_t = (
-                sg._c_symbolic(m, bt, a_idx, b_idx, ckr, ckc, sentinel))
+                sg._c_symbolic(t_ph, t_pl, ckr, ckc, sentinel))
             nbc, cnnz = int(nbc_t), int(nnzc_t)
             nnz_pad = max(bucket_size(max(cnnz, 1)), 1)
             a_flat = prepare(m).dense_flat
@@ -195,9 +189,9 @@ def main():
             def sym_step(hi, mm, bb):
                 m2 = dataclasses.replace(mm, bmp_hi=hi)
                 _, offs2, brs2, total2 = sg._task_counts(m2, bb, bb.block_rows)
-                ai, bi, kr, kc, nz2 = sg._build_tasks(
+                ai, bi, kr, kc, ph2, pl2, nz2 = sg._build_tasks(
                     m2, bb, offs2, brs2, total2, t_pad, sentinel)
-                out = sg._c_symbolic(m2, bb, ai, bi, kr, kc, sentinel)
+                out = sg._c_symbolic(ph2, pl2, kr, kc, sentinel)
                 # consume the full symbolic result (bitmaps, offsets, seg
                 # ids) so XLA cannot dead-code-slice the phase
                 dep = (jnp.sum(out[3]) + jnp.sum(out[4])
