@@ -106,16 +106,26 @@ def _choose_diagonals(
     return np.sort(keep)
 
 
-def prepare(m: BmSparse, dtype=jnp.float32) -> Prepared:
-    """Build the tiered execution plan (host-side numpy, once per matrix)."""
+def prepare(m: BmSparse, dtype=None) -> Prepared:
+    """Build the tiered execution plan (host-side numpy, once per matrix).
+
+    dtype: compute/storage dtype for the plan tiers; defaults to
+    promote(m.dtype, float32) — i.e. f32 for f32/bf16 matrices (the
+    reference's half inputs become bf16 with f32 accumulation) and f64
+    for f64 matrices (CPU-path parity with the reference's double
+    instantiation; TPUs have no f64 units).
+    """
     if isinstance(m, Prepared):
         return m
-    dense_flat = m.decompress_blocks_flat().astype(jnp.float32)
+    if dtype is None:
+        dtype = jnp.promote_types(m.dtype, jnp.float32)
+    np_dtype = np.dtype(dtype)
+    dense_flat = m.decompress_blocks_flat().astype(dtype)
 
     rows, cols, vals = m.generate_coo()
     rows = rows.astype(np.int64)
     cols = cols.astype(np.int64)
-    vals = vals.astype(np.float32)
+    vals = vals.astype(np_dtype)
     nbr = m.block_rows
     nbc = m.block_cols
     npad = nbr * BLOCK_HEIGHT
@@ -132,7 +142,7 @@ def prepare(m: BmSparse, dtype=jnp.float32) -> Prepared:
             d_slot = np.array(
                 [off_to_slot[int(o)] for o in dev[on_dia]], np.int64
             )
-            dia_np = np.zeros((len(offs), 8, npad // 8), np.float32)
+            dia_np = np.zeros((len(offs), 8, npad // 8), np_dtype)
             r_dia = rows[on_dia]
             dia_np[d_slot, r_dia % 8, r_dia // 8] = vals[on_dia]
             dia = jnp.asarray(dia_np)
@@ -193,7 +203,7 @@ def prepare(m: BmSparse, dtype=jnp.float32) -> Prepared:
             sel = (chunk >= c0) & (chunk < c1)
             ub_sel = np.nonzero(sel)[0]
             ch_g = c1 - c0
-            dense_g = np.zeros((ch_g, kg, 64, SELL_C), np.float32)
+            dense_g = np.zeros((ch_g, kg, 64, SELL_C), np_dtype)
             bcol_g = np.full((ch_g, kg, SELL_C), nbc, np.int32)
             cl = (chunk[ub_sel] - c0).astype(np.int64)
             kk = krank[ub_sel]

@@ -113,18 +113,21 @@ def _spmv_prepared(p, v: jax.Array, dia_impl: str = "xla") -> jax.Array:
     inverse-permutation row gather.
     """
     m = p.m
+    # compute dtype follows the plan (f32 normally, f64 for double
+    # matrices on the CPU path — reference double-instantiation parity)
+    cdt = p.dense_flat.dtype
     nbr = m.block_rows
     nbc = m.block_cols
     npad = nbr * BLOCK_HEIGHT
     n = nbc * BLOCK_WIDTH
     if v.shape[0] >= n:
-        vpad = v[:n].astype(jnp.float32)
+        vpad = v[:n].astype(cdt)
     else:
         vpad = (
-            jnp.zeros((n,), jnp.float32).at[: v.shape[0]].set(v)
+            jnp.zeros((n,), cdt).at[: v.shape[0]].set(v)
         )
 
-    u = jnp.zeros((npad,), jnp.float32)
+    u = jnp.zeros((npad,), cdt)
 
     if p.dia is not None:
         # Lane-major (8, L) layout: element e at [e % 8, e // 8]. A shift
@@ -137,16 +140,16 @@ def _spmv_prepared(p, v: jax.Array, dia_impl: str = "xla") -> jax.Array:
         nlanes = npad // BLOCK_HEIGHT
         lead_lanes = (max(abs(o) for o in offs) // 8 + 128) // 128 * 128
         length = (lead_lanes + max(n // 8 + 1, nlanes) + lead_lanes) * 8
-        vx = jnp.zeros((length,), jnp.float32)
+        vx = jnp.zeros((length,), cdt)
         vx = vx.at[lead_lanes * 8 : lead_lanes * 8 + n].set(vpad)
         vx2 = vx.reshape(-1, BLOCK_HEIGHT).T          # (8, L) lane-major
-        if dia_impl == "pallas":
+        if dia_impl == "pallas" and cdt == jnp.float32:
             from .pallas.spmv_kernel import dia_spmv_pallas
 
             u2 = dia_spmv_pallas(p.dia, vx2, offs, lead_lanes)
         else:
             s_iota = jax.lax.broadcasted_iota(jnp.int32, (8, nlanes), 0)
-            u2 = jnp.zeros((8, nlanes), jnp.float32)
+            u2 = jnp.zeros((8, nlanes), cdt)
             for d, o in enumerate(offs):
                 ml, r = divmod(o, 8)
                 b = jnp.roll(vx2, -r, axis=0) if r else vx2
@@ -166,7 +169,7 @@ def _spmv_prepared(p, v: jax.Array, dia_impl: str = "xla") -> jax.Array:
         v2 = jnp.concatenate(
             [
                 vpad.reshape(nbc, BLOCK_WIDTH).T,
-                jnp.zeros((BLOCK_WIDTH, 1), jnp.float32),
+                jnp.zeros((BLOCK_WIDTH, 1), cdt),
             ],
             axis=1,
         )
