@@ -131,11 +131,11 @@ def main():
         roof = rl.roofline_nnz_per_s(min_bytes, nnz, bw)
         mp = prepare(m)
         log(f"{name}: ndiags={len(mp.dia_offsets)} sell_ks={mp.sell_ks}")
-        # the Pallas path differs from XLA only in the DIA tier
-        impls = ["xla"] + (["pallas"] if mp.dia_offsets else [])
-        for impl in impls:
+        # time the auto path only (Pallas DIA on TPU): every extra impl
+        # costs a ~40 s tunnel compile that starves the SpGEMM budget
+        for impl in ["auto"]:
             try:
-                step = lambda s, mm: spmv(mm, s, impl=impl) * jnp.float32(1e-2)
+                step = lambda s, mm: spmv(mm, s) * jnp.float32(1e-2)
                 t = time_chain(step, v0, iters=30, args=(mp,))
             except Exception as e:
                 log(f"SpMV {name} [{impl}] failed: {e}")
