@@ -96,24 +96,28 @@ def main():
     detail: dict = {"device": str(dev.device_kind), "hbm_gbps": bw,
                     "spmv": {}, "spgemm": {}}
 
-    suite = []
-    try:
-        suite.append(("Ragusa16", mmread_bmsparse("data/real/A_matrix.mtx")))
-    except Exception as e:  # pragma: no cover
-        log("skipping data/real:", e)
-    for name, n, gen in [
-        ("band256k", 262144, lambda: make_banded(262144, 16, seed=2)),
-        ("blockdense64k", 65536, lambda: make_blockdense(65536, 40960, seed=3)),
-        ("rand64k", 65536, lambda: make_random(65536, 3e-4, seed=1)),
-    ]:
-        rows, cols, vals = gen()
-        suite.append((name, coo_to_bmsparse(rows, cols, vals, (n, n))))
+    # Lazy suite: every compile over the tunnel costs 40-90 s, so matrices
+    # are built on first use and cases run in priority order (headline
+    # first) under the wall-clock budget.
+    _gens = {
+        "Ragusa16": lambda: mmread_bmsparse("data/real/A_matrix.mtx"),
+        "band256k": lambda: _from(make_banded(262144, 16, seed=2), 262144),
+        "blockdense64k": lambda: _from(
+            make_blockdense(65536, 40960, seed=3), 65536),
+        "rand64k": lambda: _from(make_random(65536, 3e-4, seed=1), 65536),
+    }
+    _cache: dict = {}
 
-    # rand64k is the adversarial case (excluded from the headline, slow to
-    # prepare and run) — benchmark it last so the budget goes to the
-    # representative cases and SpGEMM first.
-    suite_main = [(n, m) for n, m in suite if n != "rand64k"]
-    suite_tail = [(n, m) for n, m in suite if n == "rand64k"]
+    def _from(rcv, n):
+        rows, cols, vals = rcv
+        return coo_to_bmsparse(rows, cols, vals, (n, n), backend="host")
+
+    def get_matrix(name):
+        if name not in _cache:
+            t0 = time.monotonic()
+            _cache[name] = _gens[name]()
+            log(f"{name}: built in {time.monotonic()-t0:.1f}s")
+        return _cache[name]
 
     headline_gnnz = 0.0
     headline_frac = 0.0
@@ -149,30 +153,28 @@ def main():
             if name != "Ragusa16" and name != "rand64k" and gnnz > headline_gnnz:
                 headline_gnnz, headline_frac = gnnz, frac
 
-    for name, m in suite_main:
-        bench_spmv(name, m)
-
     # ---- SpGEMM (A . A, like the reference batch harness) ----------------
     # The two jitted stages (symbolic T1-T6, numeric+compress) are timed as
     # dependent chains; the host-orchestrated wrapper adds ~30 ms per scalar
     # sync on this tunneled runtime, which is infra latency, not TPU time.
     from bmsparse_tpu.ops import spgemm as sg
 
-    for name, m in suite_main + suite_tail:
+    def bench_spgemm(name, m):
         if time_left() < 90:
             log(f"SpGEMM {name}: skipped (bench budget)")
-            continue
+            return
         try:
             bt_src = m.to_scipy().tocoo()
             bt = coo_to_bmsparse(
                 bt_src.row.astype(np.int32), bt_src.col.astype(np.int32),
                 bt_src.data.astype(np.float32), m.shape, transposed=True,
+                backend="host",
             )
             cnt, offs, brs, total = sg._task_counts(m, bt, bt.block_rows)
             ntasks = int(total)
             if ntasks > 8_000_000:
                 log(f"SpGEMM {name}: skipped ({ntasks} tasks)")
-                continue
+                return
             t_pad = bucket_size(max(ntasks, 1))
             sentinel = m.block_rows + 1
             a_idx, b_idx, ckr, ckc, t_ph, t_pl, nz = sg._build_tasks(
@@ -202,7 +204,7 @@ def main():
 
             if time_left() < 150:
                 log(f"SpGEMM {name}: skipped sym+num (bench budget)")
-                continue
+                return
             t_sym = time_chain(sym_step, m.bmp_hi, iters=10, args=(m, bt))
 
             # numeric: host plan once (timed on wall clock), then the
@@ -241,7 +243,7 @@ def main():
             if time_left() < 90:
                 log(f"SpGEMM {name}: sym={t_sym*1e3:.2f}ms, num skipped "
                     "(bench budget)")
-                continue
+                return
             t_num = time_chain(
                 num_step, a_flat, iters=10,
                 args=(b_flat, c_hi, c_lo, c_off, order_d, *tas, *tbs))
@@ -256,8 +258,26 @@ def main():
         except Exception as e:
             log(f"SpGEMM {name} failed: {e}")
 
-    for name, m in suite_tail:
-        bench_spmv(name, m)
+    # priority schedule: headline cases first, tiny/adversarial last
+    for kind, name in [
+        ("spmv", "band256k"),
+        ("spgemm", "band256k"),
+        ("spmv", "blockdense64k"),
+        ("spgemm", "blockdense64k"),
+        ("spmv", "Ragusa16"),
+        ("spgemm", "Ragusa16"),
+        ("spmv", "rand64k"),
+        ("spgemm", "rand64k"),
+    ]:
+        try:
+            m = get_matrix(name)
+        except Exception as e:  # pragma: no cover
+            log(f"{name}: build failed: {e}")
+            continue
+        if kind == "spmv":
+            bench_spmv(name, m)
+        else:
+            bench_spgemm(name, m)
 
     with open("bench_detail.json", "w") as f:
         json.dump(detail, f, indent=2)

@@ -19,6 +19,7 @@ from .format.convert import (
     bmsparse_to_csr,
     coo_to_bmsparse,
     csr_to_bmsparse,
+    transpose,
 )
 from .io.binary import load_bmsparse, save_bmsparse
 from .io.matrix_market import mmread_bmsparse, read_matrix_market

@@ -38,8 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compat flag (reference kernel variant)")
     p.add_argument("verbose", nargs="?", type=int, default=0,
                    help="1 = per-phase timings (reference VERBOSE)")
-    p.add_argument("--impl", default=None, choices=["xla", "sell", "pallas"],
-                   help="numeric kernel implementation")
+    p.add_argument("--impl", default=None, choices=["xla", "sell"],
+                   help="numeric kernel implementation (both use the "
+                        "task-SELL fast path; 'xla' is the name parity "
+                        "with the reference's tc_version flag)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32", "float64"],
                    help="input value dtype (reference uses half)")

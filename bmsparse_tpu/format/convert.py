@@ -95,6 +95,48 @@ def _coo_to_bmsparse_core(
     return brow_b, bcol_b, bmp_hi, bmp_lo, offsets, vals_s, nb
 
 
+def _coo_to_bmsparse_host(rows, cols, vals, shape, transposed):
+    """Pure-numpy conversion — the reference's host-side converter
+    (`mmread_bmSparse`, ref: src/reader.cu:49-110) done with vectorized
+    numpy instead of a std::map. Used when the triplets are host arrays:
+    it avoids a device round-trip and a fresh XLA compilation of the
+    conversion pipeline per (nnz-shape) — worth ~90 s per new shape on the
+    tunneled TPU runtime.
+    """
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals)
+    nbc = cdiv(shape[1], BLOCK_WIDTH)
+    intra = (
+        (cols % 8) * 8 + (rows % 8) if transposed
+        else (rows % 8) * 8 + (cols % 8)
+    )
+    bid = (rows >> 3) * nbc + (cols >> 3)
+    order = np.lexsort((intra, bid))
+    bid, intra, vals = bid[order], intra[order], vals[order]
+    ublk, start, counts = np.unique(bid, return_index=True, return_counts=True)
+    nb = len(ublk)
+    brow = (ublk // nbc).astype(np.int32)
+    bcol = (ublk % nbc).astype(np.int32)
+    offsets = (np.cumsum(counts) - counts).astype(np.int32)
+    bmp = np.zeros((nb,), np.uint64)
+    seg = np.repeat(np.arange(nb), counts)
+    np.bitwise_or.at(
+        bmp, seg, np.uint64(1) << (np.uint64(63) - intra.astype(np.uint64))
+    )
+    hi = (bmp >> np.uint64(32)).astype(np.uint32)
+    lo = (bmp & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    dtype = vals.dtype if np.issubdtype(vals.dtype, np.floating) else np.float32
+    return BmSparse(
+        brow=jnp.asarray(brow), bcol=jnp.asarray(bcol),
+        bmp_hi=jnp.asarray(hi), bmp_lo=jnp.asarray(lo),
+        offsets=jnp.asarray(offsets), values=jnp.asarray(vals.astype(dtype)),
+        nb=jnp.int32(nb),
+        num_rows=shape[0], num_cols=shape[1], nnz=len(rows),
+        transposed=transposed,
+    )
+
+
 def coo_to_bmsparse(
     rows,
     cols,
@@ -103,6 +145,7 @@ def coo_to_bmsparse(
     transposed: bool = False,
     compact: bool = True,
     nb_pad: int | None = None,
+    backend: str = "device",
 ) -> BmSparse:
     """Convert COO triplets to BmSparse.
 
@@ -116,7 +159,15 @@ def coo_to_bmsparse(
         to a bucketed exact size (like the reference's block_num sync). If
         False, stays fully on-device with nnz-sized padding (jit-safe).
       nb_pad: optional explicit padded block-array size (requires >= nb).
+      backend: "device" (jitted XLA pipeline — the reference's GPU
+        converter analogue) or "host" (vectorized numpy — the reference's
+        host converter analogue; requires host arrays, ignores
+        compact/nb_pad, produces exact unpadded arrays).
     """
+    if backend == "host":
+        if nb_pad is not None:
+            raise ValueError("nb_pad requires backend='device'")
+        return _coo_to_bmsparse_host(rows, cols, vals, shape, transposed)
     rows = jnp.asarray(rows, jnp.int32)
     cols = jnp.asarray(cols, jnp.int32)
     vals = jnp.asarray(vals)
@@ -166,6 +217,29 @@ def bmsparse_to_coo(m: BmSparse):
     """Host-side decompression (rows, cols, values) — see
     BmSparse.generate_coo."""
     return m.generate_coo()
+
+
+def transpose(m: BmSparse, transposed: bool | None = None) -> BmSparse:
+    """A.T as a new BmSparse — the cusp::transpose analogue (the reference
+    pulls in cusp/transpose.h; SURVEY.md §2 #13).
+
+    Semantically exact: block keys swap, each 8x8 bitmap is transposed and
+    values re-pack in the new bit order. Implemented through the COO
+    round-trip (the conversion pipeline re-sorts and re-packs), which also
+    keeps it correct for both intra-block storage layouts.
+
+    Args:
+      transposed: intra-block storage layout of the RESULT (default: keep
+        the input's layout).
+    """
+    rows, cols, vals = m.generate_coo()
+    if transposed is None:
+        transposed = m.transposed
+    return coo_to_bmsparse(
+        cols.astype(np.int32), rows.astype(np.int32),
+        vals.astype(np.asarray(m.values).dtype),
+        (m.num_cols, m.num_rows), transposed=transposed,
+    )
 
 
 # ---------------------------------------------------------------------------

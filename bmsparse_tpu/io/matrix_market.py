@@ -90,9 +90,18 @@ def mmread_bmsparse(
     dtype=np.float32,
     **convert_kw,
 ):
-    """File -> BmSparse in one call (the reference ctor's full pipeline)."""
+    """File -> BmSparse in one call (the reference ctor's full pipeline).
+
+    File data is host data, so conversion defaults to the vectorized-numpy
+    host backend (the reference's host converter analogue) — on the
+    tunneled TPU runtime the device pipeline would pay a fresh ~90 s XLA
+    compile per nnz-shape. Pass backend="device" for the XLA pipeline.
+    """
     from ..format.convert import coo_to_bmsparse
 
+    convert_kw.setdefault("backend", "host")
+    if convert_kw["backend"] == "host":
+        convert_kw.pop("compact", None)
     rows, cols, vals, shape = read_matrix_market(path, dtype=dtype)
     return coo_to_bmsparse(
         rows, cols, vals, shape, transposed=transposed, **convert_kw

@@ -228,8 +228,15 @@ def _c_symbolic(
     c_seg = jnp.cumsum(new) - 1
     nbc = jnp.max(jnp.where(alive, c_seg + 1, 0)) if nt else jnp.int32(0)
 
-    cbrow = jnp.full((nt,), c_row_sentinel, jnp.int32).at[c_seg].set(ck_row)
-    cbcol = jnp.zeros((nt,), jnp.int32).at[c_seg].set(ck_col)
+    # one 2-wide row scatter instead of two scalar scatters (TPU scatter
+    # cost is per index, not per byte)
+    keypair = jnp.stack([ck_row, ck_col], axis=1)            # (nt, 2)
+    ckeys = (
+        jnp.tile(jnp.array([[c_row_sentinel, 0]], jnp.int32), (nt, 1))
+        .at[c_seg].set(keypair)
+    )
+    cbrow = ckeys[:, 0]
+    cbcol = ckeys[:, 1]
 
     # C bitmap = OR over the segment's task products (bmp_calculator +
     # bmp_sum reduce_by_key, ref :1067-1083). Dead tasks carry zero

@@ -174,3 +174,53 @@ def test_bf16_values():
     ref = sp.coo_matrix((vals, (rows, cols)), shape=(32, 32))
     # bf16 has ~3 decimal digits; tolerance accordingly
     assert mean_relative_error(m, ref) < 1e-2
+
+
+def test_transpose():
+    from bmsparse_tpu import transpose
+
+    rows, cols, vals = random_coo(70, 120, density=0.06, seed=21)
+    m = coo_to_bmsparse(rows, cols, vals, (70, 120))
+    mt = transpose(m)
+    assert mt.shape == (120, 70)
+    ref = sp.coo_matrix((vals, (rows, cols)), shape=(70, 120)).T.tocoo()
+    r, c, v = mt.generate_coo()
+    ref2 = sp.coo_matrix((ref.data, (ref.row, ref.col)), shape=(120, 70))
+    got = sp.coo_matrix((v, (r, c)), shape=(120, 70))
+    np.testing.assert_allclose(got.toarray(), ref2.toarray(), rtol=1e-6)
+    # double transpose is the identity
+    mtt = transpose(mt)
+    r2, c2, v2 = mtt.generate_coo()
+    ro, co, vo = m.generate_coo()
+    np.testing.assert_array_equal(r2, ro)
+    np.testing.assert_array_equal(c2, co)
+    np.testing.assert_allclose(v2, vo)
+    # transposed-storage result feeds SpGEMM's B operand
+    from bmsparse_tpu.ops.spgemm import spgemm
+
+    bt = transpose(m, transposed=True)
+    assert bt.transposed
+    c_mm = spgemm(m, bt)  # A @ A.T
+    a_sp = sp.coo_matrix((vals, (rows, cols)), shape=(70, 120)).tocsr()
+    assert c_mm.compare((a_sp @ a_sp.T).tocoo()) < 1e-5
+
+
+def test_host_converter_matches_device():
+    # the numpy host converter (reference reader.cu analogue) must produce
+    # bit-identical structure to the jitted XLA pipeline
+    for shape, transposed in [((96, 80), False), ((96, 80), True)]:
+        rows, cols, vals = random_coo(*shape, density=0.12, seed=31)
+        a = coo_to_bmsparse(rows, cols, vals, shape, transposed=transposed)
+        b = coo_to_bmsparse(
+            rows, cols, vals, shape, transposed=transposed, backend="host"
+        )
+        nb = int(a.nb)
+        assert int(b.nb) == nb
+        for f in ("brow", "bcol", "bmp_hi", "bmp_lo", "offsets"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f))[:nb],
+                np.asarray(getattr(b, f))[:nb], err_msg=f,
+            )
+        np.testing.assert_allclose(
+            np.asarray(a.values)[: a.nnz], np.asarray(b.values)[: b.nnz]
+        )
