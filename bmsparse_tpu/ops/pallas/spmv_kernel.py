@@ -2,17 +2,19 @@
 spmv_kernel/spmv_kernel_new (ref: src/bmSparse_SPMV.cu:84-189).
 
 The DIA tier is the hot loop of the tiered plan (ops/plan.py): ndiags
-shifted fused multiply-adds. Two layout insights drive this kernel:
+shifted fused multiply-adds. Layout insights driving this kernel (v3):
 
-  1. the vector and the diagonal strip live in (8, n/8) lane-major 2-D
-     form — element e sits at [e % 8, e // 8] — so every VPU op uses all
-     8 sublanes (a flat (1, n) layout wastes 7/8 of each vreg; measured:
-     the flat form is compute-bound at ~245 GB/s);
-  2. a shift by o = 8*m + r becomes two static lane-rotations (m, m+1),
-     one static sublane-rotation (r), and a sublane select — all
-     in-register, while the strip streams HBM->VMEM double-buffered.
+  1. everything lives in the NATURAL (rows, 128) layout — element e at
+     [e // 128, e % 128], which is exactly XLA's tiling of a 1-D array, so
+     the reshape from/to flat vectors is free. (The earlier lane-major
+     (8, n/8) variant ran the kernel at >650 GB/s but paid ~30 us of XLA
+     lane<->sublane transposes around it.)
+  2. a shift by o = 128*m + rem becomes: one static in-register lane
+     rotation (rem) of an aligned row-window, plus two static row slices
+     (m, m+1) selected by lane — all register ops at full vreg utilization.
 
-The padded vector stays resident in VMEM; the grid walks lane-tiles of u.
+The padded vector stays resident in VMEM; the dia strip streams
+HBM->VMEM double-buffered by the grid pipeline.
 """
 
 from __future__ import annotations
@@ -24,74 +26,74 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DIA_TILE_LANES = 2048  # lanes (of 8 sublanes) of u per grid step: 64 KB f32
+DIA_TILE_ROWS = 256  # 128-lane rows of u per grid step: 128 KB f32
 
 
-def _dia_kernel(v_ref, dia_ref, u_ref, *, offsets, lead_lanes, tc):
+def _dia_kernel(v_ref, dia_ref, u_ref, *, offsets, lead_rows, tr, wpad):
     i = pl.program_id(0)
-    w = tc + 128
-    acc = jnp.zeros((8, tc), jnp.float32)
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, (8, tc), 0)
-    for d, o in enumerate(offsets):  # static unroll over diagonals
-        m, r = divmod(o, 8)          # element shift -> (lane, sublane)
-        base = i * tc + lead_lanes + m
-        q, rem = divmod(base, 128) if isinstance(base, int) else (None, None)
-        # base = i*tc + lead_lanes + m with tc, lead_lanes multiples of
-        # 128 -> alignment remainder is m's (static)
-        mq, mrem = divmod(m, 128)
-        start = pl.multiple_of(i * tc + lead_lanes + mq * 128, 128)
-        win = v_ref[:, pl.ds(start, w)]
-        # lane-rotate left by mrem and mrem+1 (static shifts)
-        a0 = pltpu.roll(win, w - mrem, axis=1) if mrem else win
-        a1 = pltpu.roll(win, w - mrem - 1, axis=1)
-        if r:
-            # sublane-rotate left by r: b[s] = a[(s+r) % 8]
-            b0 = pltpu.roll(a0, 8 - r, axis=0)
-            b1 = pltpu.roll(a1, 8 - r, axis=0)
-            vs = jnp.where(s_iota < 8 - r, b0[:, :tc], b1[:, :tc])
+    w = tr + 2 * wpad
+    acc = jnp.zeros((tr, 128), jnp.float32)
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (tr, 128), 1)
+
+    decomp = [divmod(o, 128) for o in offsets]          # (m, rem) per diag
+    # one aligned window load per tile; all diagonals slice from it
+    start = pl.multiple_of(i * tr + lead_rows - wpad, 8)
+    win = v_ref[pl.ds(start, w), :]
+
+    for d, (m, rem) in enumerate(decomp):
+        if rem:
+            rot = pltpu.roll(win, 128 - rem, axis=1)    # left by rem lanes
+            b0 = rot[wpad + m : wpad + m + tr]
+            b1 = rot[wpad + m + 1 : wpad + m + 1 + tr]
+            vs = jnp.where(l_iota < 128 - rem, b0, b1)
         else:
-            vs = a0[:, :tc]
+            vs = win[wpad + m : wpad + m + tr]
         acc = acc + dia_ref[d] * vs
     u_ref[:, :] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "lead_lanes"))
+@functools.partial(jax.jit, static_argnames=("offsets", "lead_rows"))
 def dia_spmv_pallas(
-    dia2: jax.Array, vx2: jax.Array, offsets: tuple, lead_lanes: int
+    dia: jax.Array, vxn: jax.Array, offsets: tuple, lead_rows: int
 ) -> jax.Array:
-    """u2[s, c] = sum_d dia2[d, s, c] * vx2-element (c + lead_lanes)*8 + s
+    """u[q, l] = sum_d dia[d, q, l] * vxn-element (lead_rows+q)*128 + l
     + offsets[d].
 
-    dia2: (nd, 8, npad/8) f32 lane-major diagonals; vx2: (8, L) f32
-    lane-major zero-padded vector. Returns u2 (8, npad/8).
+    dia: (nd, R, 128) f32 natural-layout diagonals; vxn: (Rv, 128) f32
+    zero-padded vector. lead_rows must be a multiple of 8. Returns
+    u (R, 128).
     """
-    nd, _, nlanes = dia2.shape
-    tc = min(DIA_TILE_LANES, max(128, nlanes))
-    nt = -(-nlanes // tc)
-    nl_t = nt * tc
-    if nl_t != nlanes:
-        dia2 = jnp.pad(dia2, ((0, 0), (0, 0), (0, nl_t - nlanes)))
-    max_m = max(max(offsets), 0) // 8 + 1
-    need = lead_lanes + nl_t + (max_m + 127) // 128 * 128 + 128
-    if vx2.shape[1] < need:
-        vx2 = jnp.pad(vx2, ((0, 0), (0, need - vx2.shape[1])))
+    nd, r_rows, _ = dia.shape
+    tr = min(DIA_TILE_ROWS, max(8, -(-r_rows // 8) * 8))
+    nt = -(-r_rows // tr)
+    r_t = nt * tr
+    if r_t != r_rows:
+        dia = jnp.pad(dia, ((0, 0), (0, r_t - r_rows), (0, 0)))
+    max_m = max(abs(o) // 128 + 1 for o in offsets)
+    wpad = -(-max_m // 8) * 8                            # aligned overhang
+    need = lead_rows + r_t + wpad + 8
+    if vxn.shape[0] < need:
+        vxn = jnp.pad(vxn, ((0, need - vxn.shape[0]), (0, 0)))
+    if lead_rows % 8 or lead_rows < wpad:
+        raise ValueError("lead_rows must be a multiple of 8 and >= wpad")
 
     interpret = jax.default_backend() != "tpu"
-    u2 = pl.pallas_call(
+    u = pl.pallas_call(
         functools.partial(
-            _dia_kernel, offsets=offsets, lead_lanes=lead_lanes, tc=tc
+            _dia_kernel, offsets=offsets, lead_rows=lead_rows,
+            tr=tr, wpad=wpad,
         ),
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole vx2 resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole vxn resident
             pl.BlockSpec(
-                (nd, 8, tc), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+                (nd, tr, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (8, tc), lambda i: (0, i), memory_space=pltpu.VMEM
+            (tr, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((8, nl_t), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r_t, 128), jnp.float32),
         interpret=interpret,
-    )(vx2, dia2)
-    return u2[:, :nlanes]
+    )(vxn, dia)
+    return u[:r_rows]

@@ -65,11 +65,11 @@ class Prepared:
     dense_flat: jax.Array        # (nb_pad, 64) row-major slots (SpGEMM reuse)
 
     # --- DIA tier (None disables) ---
-    # lane-major layout: dia[d, s, c] is the diagonal-d entry of scalar row
-    # c*8 + s (element e lives at [e % 8, e // 8]); this keeps all 8 VPU
-    # sublanes busy in the shifted-FMA kernels (a flat (nd, npad) layout
-    # measured compute-bound at 1/8 vreg utilization).
-    dia: jax.Array | None = None          # (nd, 8, npad//8) f32
+    # natural (rows, 128) layout: dia[d, q, l] is the diagonal-d entry of
+    # scalar row q*128 + l — exactly XLA's tiling of a flat vector, so the
+    # flat<->2-D reshapes around the kernels are free bitcasts (lane-major
+    # and flat layouts measured 30 us of transpose/vreg-waste overhead).
+    dia: jax.Array | None = None          # (nd, ceil(npad/128), 128) f32
     dia_offsets: tuple = dataclasses.field(
         metadata=dict(static=True), default=())
 
@@ -142,9 +142,10 @@ def prepare(m: BmSparse, dtype=None) -> Prepared:
             d_slot = np.array(
                 [off_to_slot[int(o)] for o in dev[on_dia]], np.int64
             )
-            dia_np = np.zeros((len(offs), 8, npad // 8), np_dtype)
+            r128 = cdiv(npad, 128)
+            dia_np = np.zeros((len(offs), r128, 128), np_dtype)
             r_dia = rows[on_dia]
-            dia_np[d_slot, r_dia % 8, r_dia // 8] = vals[on_dia]
+            dia_np[d_slot, r_dia // 128, r_dia % 128] = vals[on_dia]
             dia = jnp.asarray(dia_np)
             dia_offsets = tuple(int(o) for o in offs)
             rows, cols, vals = rows[~on_dia], cols[~on_dia], vals[~on_dia]

@@ -130,39 +130,37 @@ def _spmv_prepared(p, v: jax.Array, dia_impl: str = "xla") -> jax.Array:
     u = jnp.zeros((npad,), cdt)
 
     if p.dia is not None:
-        # Lane-major (8, L) layout: element e at [e % 8, e // 8]. A shift
-        # by o = 8*m + r becomes a sublane roll (r) plus two lane rolls
-        # (m, m+1) selected per sublane. Rolls keep the layout aligned
-        # (measured 3x faster than dynamic_slice shifts on v5e); wrapped
-        # lanes land beyond the sliced region, so semantics are exact
-        # zero-padded shifts.
+        # Natural (rows, 128) layout — element e at [e // 128, e % 128],
+        # XLA's own tiling of a flat vector, so these reshapes are free.
+        # A shift by o = 128*m + rem becomes a lane roll (rem) plus row
+        # shifts (m, m+1) selected per lane.
         offs = p.dia_offsets
-        nlanes = npad // BLOCK_HEIGHT
-        lead_lanes = (max(abs(o) for o in offs) // 8 + 128) // 128 * 128
-        length = (lead_lanes + max(n // 8 + 1, nlanes) + lead_lanes) * 8
+        r_rows = p.dia.shape[1]
+        lead_rows = -(-(max(abs(o) for o in offs) // 128 + 1) // 8) * 8
+        length = (lead_rows + max(cdiv(n, 128), r_rows) + lead_rows) * 128
         vx = jnp.zeros((length,), cdt)
-        vx = vx.at[lead_lanes * 8 : lead_lanes * 8 + n].set(vpad)
-        vx2 = vx.reshape(-1, BLOCK_HEIGHT).T          # (8, L) lane-major
+        vx = vx.at[lead_rows * 128 : lead_rows * 128 + n].set(vpad)
+        vxn = vx.reshape(-1, 128)
         if dia_impl == "pallas" and cdt == jnp.float32:
             from .pallas.spmv_kernel import dia_spmv_pallas
 
-            u2 = dia_spmv_pallas(p.dia, vx2, offs, lead_lanes)
+            u2 = dia_spmv_pallas(p.dia, vxn, offs, lead_rows)
         else:
-            s_iota = jax.lax.broadcasted_iota(jnp.int32, (8, nlanes), 0)
-            u2 = jnp.zeros((8, nlanes), cdt)
+            l_iota = jax.lax.broadcasted_iota(jnp.int32, (r_rows, 128), 1)
+            u2 = jnp.zeros((r_rows, 128), cdt)
             for d, o in enumerate(offs):
-                ml, r = divmod(o, 8)
-                b = jnp.roll(vx2, -r, axis=0) if r else vx2
-                t0 = jnp.roll(b, -(lead_lanes + ml), axis=1)[:, :nlanes]
-                if r:
+                ml, rem = divmod(o, 128)
+                b = jnp.roll(vxn, 128 - rem, axis=1) if rem else vxn
+                t0 = jnp.roll(b, -(lead_rows + ml), axis=0)[:r_rows]
+                if rem:
                     t1 = jnp.roll(
-                        b, -(lead_lanes + ml + 1), axis=1
-                    )[:, :nlanes]
-                    vs = jnp.where(s_iota < 8 - r, t0, t1)
+                        b, -(lead_rows + ml + 1), axis=0
+                    )[:r_rows]
+                    vs = jnp.where(l_iota < 128 - rem, t0, t1)
                 else:
                     vs = t0
                 u2 = u2 + p.dia[d] * vs
-        u = u + u2.T.reshape(npad)
+        u = u + u2.reshape(r_rows * 128)[:npad]
 
     if p.sell_ks:
         # v as (8, nbc+1): lanes = block columns, one zero sentinel column.
