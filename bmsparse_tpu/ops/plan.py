@@ -74,8 +74,11 @@ class Prepared:
         metadata=dict(static=True), default=())
 
     # --- SELL tier: groups of 128-row chunks sharing padded depth K ---
-    # sell_dense[g]: (chunks_g, K_g, 8, 8, 128) f32, slots [k, j, i, lane]
-    # sell_bcol[g]:  (chunks_g, K_g, 128) int32, padding -> block_cols
+    # sell_dense[g]: (8, chunks_g, K_g, 8, 128) f32, [j, chunk, k, i, lane]
+    #   (j-major so the product loop lines up with the gathered v segments
+    #   without any runtime transpose)
+    # sell_bcol[g]: (chunks_g * K_g * 128,) int32 flat, padding ->
+    #   block_cols (flat index arrays gather ~6x faster than 3-D on v5e)
     sell_dense: tuple = ()
     sell_bcol: tuple = ()
     sell_ks: tuple = dataclasses.field(metadata=dict(static=True), default=())
@@ -214,10 +217,11 @@ def prepare(m: BmSparse, dtype=None) -> Prepared:
             s_sel = sel[binv]
             loc = np.searchsorted(ub_sel, binv[s_sel])
             dense_g[cl[loc], kk[loc], slot[s_sel], ll[loc]] = vals[s_sel]
-            sell_dense.append(
-                jnp.asarray(dense_g.reshape(ch_g, kg, 8, 8, SELL_C))
-            )
-            sell_bcol.append(jnp.asarray(bcol_g))
+            sell_dense.append(jnp.asarray(np.ascontiguousarray(
+                dense_g.reshape(ch_g, kg, 8, 8, SELL_C)
+                .transpose(2, 0, 1, 3, 4)
+            )))
+            sell_bcol.append(jnp.asarray(bcol_g.reshape(-1)))
             sell_ks.append(kg)
 
         sell_rows = nchunks * SELL_C

@@ -173,10 +173,15 @@ def _spmv_prepared(p, v: jax.Array, dia_impl: str = "xla") -> jax.Array:
         )
         parts = []
         for dense_g, bcol_g in zip(p.sell_dense, p.sell_bcol):
-            ch, kg = bcol_g.shape[0], bcol_g.shape[1]
-            vseg = jnp.take(v2, bcol_g, axis=1)        # (8, ch, K, 128)
-            vs = jnp.moveaxis(vseg, 0, 2)[:, :, :, None, :]  # (ch,K,8,1,128)
-            contrib = jnp.sum(dense_g * vs, axis=(1, 2))     # (ch, 8, 128)
+            _, ch, kg, _, lanes = dense_g.shape
+            # flat-index lane gather, then a free lane-split reshape; the
+            # j-major dense layout lines up without a runtime transpose
+            vseg = jnp.take(v2, bcol_g, axis=1).reshape(
+                BLOCK_WIDTH, ch, kg, 1, lanes
+            )
+            # single fused multiply-reduce over (j, k) — an unrolled
+            # j-loop re-reads the accumulator 8x (measured 20% slower)
+            contrib = jnp.sum(dense_g * vseg, axis=(0, 2))   # (ch, 8, 128)
             parts.append(
                 jnp.transpose(contrib, (0, 2, 1)).reshape(-1, BLOCK_HEIGHT)
             )
