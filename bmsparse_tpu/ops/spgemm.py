@@ -104,22 +104,6 @@ def _task_counts(a: BmSparse, b: BmSparse, num_b_block_rows: int):
 # ---------------------------------------------------------------------------
 # T3 + T4 + T5: task list construction, pruning, sort by C key
 # ---------------------------------------------------------------------------
-def _expand_to_tasks(per_block: jax.Array, task_offs: jax.Array, nt: int):
-    """out[t] = per_block[j(t)] where j(t) is the last block with
-    task_offs[j] <= t — the monotone segment expansion underlying T3.
-
-    Gather-free: scatter-add the per-block value deltas at the segment
-    starts and prefix-sum (measured 0.9 ms vs 40 ms for searchsorted and
-    2.4 ms per 1-D gather at 330k tasks on v5e). int32 wraparound makes
-    the delta/cumsum pair exact for any integer payload (incl. bitcast
-    uint32 bitmaps).
-    """
-    x = per_block.astype(jnp.int32)
-    d = jnp.concatenate([x[:1], x[1:] - x[:-1]])
-    ind = jnp.zeros((nt,), jnp.int32).at[task_offs].add(d, mode="drop")
-    return jnp.cumsum(ind)
-
-
 @partial(jax.jit, static_argnames=("num_tasks", "c_row_sentinel"))
 def _build_tasks(
     a: BmSparse,
@@ -142,23 +126,38 @@ def _build_tasks(
     """
     t = jnp.arange(num_tasks, dtype=jnp.int32)
     valid = t < total
-    # T3: invert the offset table (task_offs is non-decreasing) and expand
-    # every per-A-block quantity to tasks — all via delta-scatter+cumsum.
-    ones = jnp.zeros((num_tasks,), jnp.int32).at[task_offs].add(
-        1, mode="drop"
-    )
-    a_idx = jnp.clip(jnp.cumsum(ones) - 1, 0, a.nb_pad - 1)
-    off_t = _expand_to_tasks(task_offs, task_offs, num_tasks)
-    within = t - off_t
+    # T3: expand every per-A-block quantity to its task span in ONE
+    # jnp.repeat over stacked fields — measured 0.94 ms at 330k tasks vs
+    # ~5 ms for scatter+cumsum formulations and 40 ms for searchsorted.
     nbr_b = b_row_start.shape[0]
     start_per_blk = jnp.take(
         b_row_start, jnp.clip(a.bcol, 0, nbr_b - 1)
-    )  # nb-sized gather (cheap), expanded below
-    b_idx = _expand_to_tasks(start_per_blk, task_offs, num_tasks) + within
-    b_idx = jnp.clip(b_idx, 0, b.nb_pad - 1)
-    a_hi = _expand_to_tasks(a.bmp_hi, task_offs, num_tasks).astype(jnp.uint32)
-    a_lo = _expand_to_tasks(a.bmp_lo, task_offs, num_tasks).astype(jnp.uint32)
-    a_row = _expand_to_tasks(a.brow, task_offs, num_tasks)
+    )  # nb-sized gather (cheap)
+    counts = jnp.concatenate(
+        [task_offs[1:] - task_offs[:-1], (total - task_offs[-1])[None]]
+    ).astype(jnp.int32)
+    fields = jnp.stack(
+        [
+            jnp.arange(a.nb_pad, dtype=jnp.int32),  # -> a_idx
+            task_offs,                              # -> off_t
+            start_per_blk,                          # -> b row start
+            a.bmp_hi.astype(jnp.int32),             # -> task A bitmap hi
+            a.bmp_lo.astype(jnp.int32),             # -> task A bitmap lo
+            a.brow,                                 # -> task C block-row
+            jnp.zeros((a.nb_pad,), jnp.int32),
+            jnp.zeros((a.nb_pad,), jnp.int32),
+        ],
+        axis=1,
+    )                                           # (nb, 8)
+    c = jnp.repeat(
+        fields, counts, axis=0, total_repeat_length=num_tasks
+    )                                           # (nt, 8)
+    a_idx = jnp.clip(c[:, 0], 0, a.nb_pad - 1)
+    within = t - c[:, 1]
+    b_idx = jnp.clip(c[:, 2] + within, 0, b.nb_pad - 1)
+    a_hi = c[:, 3].astype(jnp.uint32)
+    a_lo = c[:, 4].astype(jnp.uint32)
+    a_row = c[:, 5]
 
     # B-side fields in one packed row-gather (per-row cost, not per-field).
     b_tbl = jnp.stack(
