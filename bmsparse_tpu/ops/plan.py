@@ -92,12 +92,13 @@ class Prepared:
 
 
 def _choose_diagonals(
-    rows: np.ndarray, cols: np.ndarray, n_rows: int, n_cols: int
+    rows: np.ndarray, cols: np.ndarray, n_rows: int, n_cols: int,
+    col_shift: int = 0,
 ) -> np.ndarray:
     """Offsets of diagonals dense enough for the DIA tier."""
     if len(rows) == 0:
         return np.empty((0,), np.int64)
-    dev = cols.astype(np.int64) - rows.astype(np.int64)
+    dev = cols.astype(np.int64) - rows.astype(np.int64) - col_shift
     offs, counts = np.unique(dev, return_counts=True)
     # diag o holds (i, i+o) for i in [max(0,-o), min(n_rows, n_cols-o))
     length = np.minimum(n_rows, n_cols - offs) - np.maximum(0, -offs)
@@ -109,7 +110,8 @@ def _choose_diagonals(
     return np.sort(keep)
 
 
-def prepare(m: BmSparse, dtype=None) -> Prepared:
+def prepare(m: BmSparse, dtype=None, force_layout=None,
+            col_shift: int = 0) -> Prepared:
     """Build the tiered execution plan (host-side numpy, once per matrix).
 
     dtype: compute/storage dtype for the plan tiers; defaults to
@@ -117,6 +119,16 @@ def prepare(m: BmSparse, dtype=None) -> Prepared:
     reference's half inputs become bf16 with f32 accumulation) and f64
     for f64 matrices (CPU-path parity with the reference's double
     instantiation; TPUs have no f64 units).
+
+    force_layout: optional (dia_offsets, groups) where groups is a tuple
+    of (K, chunks) pairs in descending-K order. Forces the plan's STATIC
+    structure — diagonals not in the matrix get zero strips, groups get
+    padding chunks — so plans for different shards of a partitioned
+    matrix become stackable for shard_map (see parallel/plan.py).
+
+    col_shift: subtracted from column indices when assigning scalars to
+    diagonals (the multi-chip path keeps columns global but rows shard-
+    local; diagonal offset o then means v[row + col_shift + o]).
     """
     if isinstance(m, Prepared):
         return m
@@ -132,14 +144,20 @@ def prepare(m: BmSparse, dtype=None) -> Prepared:
     nbr = m.block_rows
     nbc = m.block_cols
     npad = nbr * BLOCK_HEIGHT
+    forced_dia, forced_groups = force_layout if force_layout else (None, None)
 
     # ---- Tier 1: extract dense diagonals --------------------------------
     dia = None
     dia_offsets: tuple = ()
-    if len(rows):
-        offs = _choose_diagonals(rows, cols, m.num_rows, m.num_cols)
+    if len(rows) or forced_dia:
+        if forced_dia is not None:
+            offs = np.asarray(forced_dia, np.int64)
+        else:
+            offs = _choose_diagonals(
+                rows, cols, m.num_rows, m.num_cols, col_shift
+            )
         if len(offs):
-            dev = cols - rows
+            dev = cols - rows - col_shift
             on_dia = np.isin(dev, offs)
             off_to_slot = {int(o): i for i, o in enumerate(offs)}
             d_slot = np.array(
@@ -159,7 +177,7 @@ def prepare(m: BmSparse, dtype=None) -> Prepared:
     sell_ks: list = []
     out_gather = None
     sell_rows = 0
-    if len(rows):
+    if len(rows) or forced_groups:
         br = rows >> 3
         bc = cols >> 3
         # slot order (j, i): sublane j*8+i so the j-contraction is a
@@ -199,33 +217,78 @@ def prepare(m: BmSparse, dtype=None) -> Prepared:
         row_start_in_ublocks = np.searchsorted(ubr, ubr)  # first idx of row
         krank = np.arange(len(ubr)) - row_start_in_ublocks
 
-        boundaries = np.nonzero(np.diff(k_chunk))[0] + 1
-        group_starts = np.concatenate([[0], boundaries, [nchunks]])
-        for gi in range(len(group_starts) - 1):
-            c0, c1 = int(group_starts[gi]), int(group_starts[gi + 1])
-            kg = int(k_chunk[c0])
-            sel = (chunk >= c0) & (chunk < c1)
+        if forced_groups is not None:
+            # (K, capacity) pairs; this matrix's chunks with depth K fill
+            # the K group in chunk order, the rest is padding
+            groups_spec = list(forced_groups)
+            kvals = [k for k, _ in groups_spec]
+            assert all(int(k) in kvals for k in np.unique(k_chunk)), (
+                "forced layout lacks a K group this shard needs"
+            )
+            group_of_chunk = np.array(
+                [kvals.index(int(k)) for k in k_chunk], np.int64
+            )
+            local_of_chunk = np.zeros((nchunks,), np.int64)
+            seen: dict = {}
+            for c in range(nchunks):
+                g = int(group_of_chunk[c])
+                local_of_chunk[c] = seen.get(g, 0)
+                seen[g] = local_of_chunk[c] + 1
+            for g, (k, cap) in enumerate(groups_spec):
+                assert seen.get(g, 0) <= cap
+        else:
+            boundaries = np.nonzero(np.diff(k_chunk))[0] + 1
+            group_starts = np.concatenate([[0], boundaries, [nchunks]])
+            groups_spec = [
+                (int(k_chunk[int(group_starts[gi])]),
+                 int(group_starts[gi + 1] - group_starts[gi]))
+                for gi in range(len(group_starts) - 1)
+            ]
+            group_of_chunk = np.searchsorted(
+                group_starts[1:], np.arange(nchunks), side="right"
+            )
+            local_of_chunk = np.arange(nchunks) - group_starts[
+                group_of_chunk
+            ]
+
+        # stacked-row base of each group
+        bases = np.cumsum([0] + [cap * SELL_C for _, cap in groups_spec])
+        for g, (kg, cap) in enumerate(groups_spec):
+            sel = group_of_chunk[chunk] == g if nchunks else np.zeros(
+                (0,), bool
+            )
             ub_sel = np.nonzero(sel)[0]
-            ch_g = c1 - c0
-            dense_g = np.zeros((ch_g, kg, 64, SELL_C), np_dtype)
-            bcol_g = np.full((ch_g, kg, SELL_C), nbc, np.int32)
-            cl = (chunk[ub_sel] - c0).astype(np.int64)
-            kk = krank[ub_sel]
-            ll = lane[ub_sel]
-            bcol_g[cl, kk, ll] = ubc[ub_sel]
-            # scatter scalars of the selected blocks
-            s_sel = sel[binv]
-            loc = np.searchsorted(ub_sel, binv[s_sel])
-            dense_g[cl[loc], kk[loc], slot[s_sel], ll[loc]] = vals[s_sel]
+            dense_g = np.zeros((cap, kg, 64, SELL_C), np_dtype)
+            bcol_g = np.full((cap, kg, SELL_C), nbc, np.int32)
+            if len(ub_sel):
+                cl = local_of_chunk[chunk[ub_sel]]
+                kk = krank[ub_sel]
+                ll = lane[ub_sel]
+                bcol_g[cl, kk, ll] = ubc[ub_sel]
+                # scatter scalars of the selected blocks
+                s_sel = sel[binv]
+                loc = np.searchsorted(ub_sel, binv[s_sel])
+                dense_g[cl[loc], kk[loc], slot[s_sel], ll[loc]] = vals[s_sel]
             sell_dense.append(jnp.asarray(np.ascontiguousarray(
-                dense_g.reshape(ch_g, kg, 8, 8, SELL_C)
+                dense_g.reshape(cap, kg, 8, 8, SELL_C)
                 .transpose(2, 0, 1, 3, 4)
             )))
             sell_bcol.append(jnp.asarray(bcol_g.reshape(-1)))
             sell_ks.append(kg)
 
-        sell_rows = nchunks * SELL_C
-        og = np.where(row_pos >= 0, row_pos, sell_rows).astype(np.int32)
+        sell_rows = int(bases[-1])
+        if nchunks:
+            stacked_pos = (
+                bases[group_of_chunk] + local_of_chunk * SELL_C
+            )                                   # per chunk
+            og = np.where(
+                row_pos >= 0,
+                stacked_pos[np.clip(row_pos // SELL_C, 0, nchunks - 1)]
+                + row_pos % SELL_C,
+                sell_rows,
+            ).astype(np.int32)
+        else:
+            og = np.full((nbr,), sell_rows, np.int32)
         out_gather = jnp.asarray(og)
 
     return Prepared(

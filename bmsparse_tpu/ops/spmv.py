@@ -130,68 +130,120 @@ def _spmv_prepared(p, v: jax.Array, dia_impl: str = "xla") -> jax.Array:
     u = jnp.zeros((npad,), cdt)
 
     if p.dia is not None:
-        # Natural (rows, 128) layout — element e at [e // 128, e % 128],
-        # XLA's own tiling of a flat vector, so these reshapes are free.
-        # A shift by o = 128*m + rem becomes a lane roll (rem) plus row
-        # shifts (m, m+1) selected per lane.
-        offs = p.dia_offsets
-        r_rows = p.dia.shape[1]
-        lead_rows = -(-(max(abs(o) for o in offs) // 128 + 1) // 8) * 8
-        length = (lead_rows + max(cdiv(n, 128), r_rows) + lead_rows) * 128
-        vx = jnp.zeros((length,), cdt)
-        vx = vx.at[lead_rows * 128 : lead_rows * 128 + n].set(vpad)
-        vxn = vx.reshape(-1, 128)
-        if dia_impl == "pallas" and cdt == jnp.float32:
-            from .pallas.spmv_kernel import dia_spmv_pallas
-
-            u2 = dia_spmv_pallas(p.dia, vxn, offs, lead_rows)
-        else:
-            l_iota = jax.lax.broadcasted_iota(jnp.int32, (r_rows, 128), 1)
-            u2 = jnp.zeros((r_rows, 128), cdt)
-            for d, o in enumerate(offs):
-                ml, rem = divmod(o, 128)
-                b = jnp.roll(vxn, 128 - rem, axis=1) if rem else vxn
-                t0 = jnp.roll(b, -(lead_rows + ml), axis=0)[:r_rows]
-                if rem:
-                    t1 = jnp.roll(
-                        b, -(lead_rows + ml + 1), axis=0
-                    )[:r_rows]
-                    vs = jnp.where(l_iota < 128 - rem, t0, t1)
-                else:
-                    vs = t0
-                u2 = u2 + p.dia[d] * vs
-        u = u + u2.reshape(r_rows * 128)[:npad]
+        u2 = dia_apply(
+            p.dia, p.dia_offsets, vpad, n, dia_impl=dia_impl
+        )
+        u = u + u2.reshape(-1)[:npad]
 
     if p.sell_ks:
-        # v as (8, nbc+1): lanes = block columns, one zero sentinel column.
-        v2 = jnp.concatenate(
-            [
-                vpad.reshape(nbc, BLOCK_WIDTH).T,
-                jnp.zeros((BLOCK_WIDTH, 1), cdt),
-            ],
-            axis=1,
-        )
-        parts = []
-        for dense_g, bcol_g in zip(p.sell_dense, p.sell_bcol):
-            _, ch, kg, _, lanes = dense_g.shape
-            # flat-index lane gather, then a free lane-split reshape; the
-            # j-major dense layout lines up without a runtime transpose
-            vseg = jnp.take(v2, bcol_g, axis=1).reshape(
-                BLOCK_WIDTH, ch, kg, 1, lanes
-            )
-            # single fused multiply-reduce over (j, k) — an unrolled
-            # j-loop re-reads the accumulator 8x (measured 20% slower)
-            contrib = jnp.sum(dense_g * vseg, axis=(0, 2))   # (ch, 8, 128)
-            parts.append(
-                jnp.transpose(contrib, (0, 2, 1)).reshape(-1, BLOCK_HEIGHT)
-            )
-        u_rows = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-        u_sell = jnp.take(
-            u_rows, p.out_gather, axis=0, mode="fill", fill_value=0
+        u_sell = sell_apply(
+            p.sell_dense, p.sell_bcol, p.out_gather, vpad, nbc
         )                                              # (nbr, 8)
         u = u + u_sell.reshape(npad)
 
     return u[: m.num_rows].astype(v.dtype)
+
+
+def dia_apply(
+    dia: jax.Array,
+    offsets: tuple,
+    vpad: jax.Array,
+    n: int,
+    dia_impl: str = "xla",
+    col_shift=None,
+):
+    """DIA-tier contribution: u2 (r_rows, 128) natural layout.
+
+    Natural layout — element e at [e // 128, e % 128], XLA's own tiling of
+    a flat vector, so the reshapes here are free. A shift by o = 128*m +
+    rem becomes a lane roll (rem) plus row shifts (m, m+1) selected per
+    lane.
+
+    col_shift: optional TRACED scalar, a multiple of 128: diagonal offset
+    d reads v[row + col_shift + offsets[d]]. Used by the multi-chip path,
+    where each shard's rows are local but v (and the diagonal offsets,
+    which are global statics shared by every shard) live in global
+    coordinates.
+    """
+    cdt = dia.dtype
+    r_rows = dia.shape[1]
+    offs = offsets
+    lead_rows = -(-(max(abs(o) for o in offs) // 128 + 1) // 8) * 8
+    span = (
+        cdiv(n, 128) + r_rows if col_shift is not None
+        else max(cdiv(n, 128), r_rows)
+    )
+    length = (lead_rows + span + lead_rows) * 128
+    vx = jnp.zeros((length,), cdt)
+    vx = vx.at[lead_rows * 128 : lead_rows * 128 + n].set(vpad[:n])
+    vxn = vx.reshape(-1, 128)
+    if col_shift is not None:
+        # slide the local window: row q of the sliced vxn is global row
+        # q - lead_rows + col_shift/128
+        vxn = jax.lax.dynamic_slice(
+            vxn,
+            (col_shift // 128, 0),
+            (lead_rows + r_rows + lead_rows, 128),
+        )
+    if dia_impl == "pallas" and cdt == jnp.float32:
+        from .pallas.spmv_kernel import dia_spmv_pallas
+
+        return dia_spmv_pallas(dia, vxn, offs, lead_rows)
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (r_rows, 128), 1)
+    u2 = jnp.zeros((r_rows, 128), cdt)
+    for d, o in enumerate(offs):
+        ml, rem = divmod(o, 128)
+        b = jnp.roll(vxn, 128 - rem, axis=1) if rem else vxn
+        t0 = jnp.roll(b, -(lead_rows + ml), axis=0)[:r_rows]
+        if rem:
+            t1 = jnp.roll(b, -(lead_rows + ml + 1), axis=0)[:r_rows]
+            vs = jnp.where(l_iota < 128 - rem, t0, t1)
+        else:
+            vs = t0
+        u2 = u2 + dia[d] * vs
+    return u2
+
+
+def sell_apply(
+    sell_dense: tuple,
+    sell_bcol: tuple,
+    out_gather: jax.Array,
+    vpad: jax.Array,
+    nbc: int,
+):
+    """SELL-tier contribution: (block_rows, 8) row-major.
+
+    Per K-group: one flat-index lane gather of v block segments, a fused
+    multiply-reduce over (j, k), a lane->sublane transpose; then the
+    inverse-permutation row gather places rows (fill rows -> 0).
+    """
+    cdt = sell_dense[0].dtype
+    # v as (8, nbc+1): lanes = block columns, one zero sentinel column.
+    v2 = jnp.concatenate(
+        [
+            vpad[: nbc * BLOCK_WIDTH].reshape(nbc, BLOCK_WIDTH).T,
+            jnp.zeros((BLOCK_WIDTH, 1), cdt),
+        ],
+        axis=1,
+    )
+    parts = []
+    for dense_g, bcol_g in zip(sell_dense, sell_bcol):
+        _, ch, kg, _, lanes = dense_g.shape
+        # flat-index lane gather, then a free lane-split reshape; the
+        # j-major dense layout lines up without a runtime transpose
+        vseg = jnp.take(v2, bcol_g, axis=1).reshape(
+            BLOCK_WIDTH, ch, kg, 1, lanes
+        )
+        # single fused multiply-reduce over (j, k) — an unrolled j-loop
+        # re-reads the accumulator 8x (measured 20% slower)
+        contrib = jnp.sum(dense_g * vseg, axis=(0, 2))       # (ch, 8, 128)
+        parts.append(
+            jnp.transpose(contrib, (0, 2, 1)).reshape(-1, BLOCK_HEIGHT)
+        )
+    u_rows = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return jnp.take(
+        u_rows, out_gather, axis=0, mode="fill", fill_value=0
+    )
 
 
 def spmv(m, v: jax.Array, impl: str | None = None) -> jax.Array:

@@ -122,12 +122,18 @@ class ShardedBmSparse:
         )
 
 
-def partition(m: BmSparse, num_shards: int) -> ShardedBmSparse:
+def partition(
+    m: BmSparse, num_shards: int, align: int = 1
+) -> ShardedBmSparse:
     """Split a BmSparse into `num_shards` uniform block-row ranges.
 
     Host-side preprocessing (runs once per matrix). Shard padding follows
     the zero-bitmap identity convention, so downstream kernels need no
     masks.
+
+    align: round rows_per_shard up to this multiple (the tiered sharded
+    plan needs align=16 so each shard's scalar-row base is a multiple of
+    128 — see parallel/plan.py).
     """
     nb = int(m.nb)
     brow = np.asarray(m.brow)[:nb]
@@ -138,7 +144,7 @@ def partition(m: BmSparse, num_shards: int) -> ShardedBmSparse:
     values = np.asarray(m.values)
     counts = np.asarray(m.block_nnz())[:nb]
 
-    bpr = cdiv(m.block_rows, num_shards)
+    bpr = round_up(cdiv(m.block_rows, num_shards), align)
     # contiguous slice bounds per shard (blocks sorted by brow)
     starts = np.searchsorted(brow, np.arange(num_shards) * bpr, side="left")
     ends = np.searchsorted(brow, (np.arange(num_shards) + 1) * bpr, side="left")

@@ -78,6 +78,86 @@ def sharded_spmv(sm: ShardedBmSparse, v: jax.Array, mesh: Mesh) -> jax.Array:
     return u.reshape(-1)[: sm.num_rows]
 
 
+def _local_spmv_prepared(
+    dia, out_gather, v_local, *sell_arrays,
+    dia_offsets, sell_ks, rows_per_shard, num_cols, v_len, dia_impl,
+):
+    """Per-shard tiered SpMV body (the fast path): all-gather v, run the
+    DIA tier with the shard base as a traced column shift, the SELL tier
+    against the global gathered v."""
+    from ..ops.spmv import dia_apply, sell_apply
+
+    s = jax.lax.axis_index(AXIS)
+    v_full = jax.lax.all_gather(v_local[0], AXIS, tiled=True)[:v_len]
+    n = round_up(num_cols, BLOCK_WIDTH)
+    vpad = jnp.zeros((n,), jnp.float32).at[: v_full.shape[0]].set(
+        v_full.astype(jnp.float32)
+    )
+    npad_loc = rows_per_shard * BLOCK_HEIGHT
+    u = jnp.zeros((npad_loc,), jnp.float32)
+    if dia_offsets:
+        u2 = dia_apply(
+            dia[0], dia_offsets, vpad, n, dia_impl=dia_impl,
+            col_shift=s * npad_loc,
+        )
+        u = u + u2.reshape(-1)[:npad_loc]
+    if sell_ks:
+        ng = len(sell_arrays) // 2
+        dense = tuple(x[0] for x in sell_arrays[:ng])
+        bcol = tuple(x[0] for x in sell_arrays[ng:])
+        u_sell = sell_apply(
+            dense, bcol, out_gather[0], vpad, n // BLOCK_WIDTH
+        )
+        u = u + u_sell.reshape(npad_loc)
+    return u[None, :]
+
+
+def sharded_spmv_prepared(
+    sp, v: jax.Array, mesh: Mesh, dia_impl: str | None = None
+) -> jax.Array:
+    """u = A @ v over the mesh using the tiered per-shard plans
+    (parallel/plan.py::prepare_sharded) — the multi-chip fast path."""
+    from ..config import get_config
+
+    sm = sp.sm
+    d = mesh.devices.size
+    if sm.num_shards != d:
+        raise ValueError(f"matrix has {sm.num_shards} shards, mesh has {d}")
+    if dia_impl is None:
+        impl = get_config().spmv_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        dia_impl = impl
+    v_len = round_up(sm.num_cols, BLOCK_WIDTH)
+    v_pad = round_up(v_len, d)
+    vg = jnp.zeros((v_pad,), v.dtype).at[: v.shape[0]].set(v)
+    vg = vg.reshape(d, v_pad // d)
+
+    dia_op = (
+        sp.dia if sp.dia is not None
+        else jnp.zeros((d, 1, 1, 128), jnp.float32)
+    )
+    operands = [dia_op, sp.out_gather, vg, *sp.sell_dense, *sp.sell_bcol]
+    specs = (P(AXIS),) * len(operands)
+
+    fn = shard_map(
+        partial(
+            _local_spmv_prepared,
+            dia_offsets=sp.dia_offsets,
+            sell_ks=sp.sell_ks,
+            rows_per_shard=sm.rows_per_shard,
+            num_cols=sm.num_cols,
+            v_len=v_len,
+            dia_impl=dia_impl,
+        ),
+        mesh=mesh,
+        in_specs=specs,
+        out_specs=P(AXIS),
+    )
+    u = fn(*operands)
+    return u.reshape(-1)[: sm.num_rows].astype(v.dtype)
+
+
 def spmv_sharding_plan(mesh: Mesh) -> dict:
     """NamedShardings for placing a ShardedBmSparse and v on the mesh
     ahead of time (avoids implicit transfers under jit)."""

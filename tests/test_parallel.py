@@ -85,3 +85,38 @@ def test_sharded_matches_single_chip():
     c2 = sharded_spgemm(sa, sb, make_mesh(4), **estimate_bounds(sa, sb))
     for x, y in zip(c1.generate_coo(), c2.to_bmsparse().generate_coo()):
         np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_prepared_spmv():
+    """Multi-chip fast path: per-shard tiered plans with unified statics
+    (parallel/plan.py) must match the single-chip result exactly."""
+    import jax.numpy as jnp
+
+    from bmsparse_tpu.parallel.plan import prepare_sharded
+    from bmsparse_tpu.parallel.spmv import sharded_spmv_prepared
+
+    rng = np.random.default_rng(4)
+    n = 1024
+    # tridiagonal + scattered extras concentrated in the upper rows so
+    # shard loads are skewed (exercises forced-group padding)
+    r1 = np.repeat(np.arange(n), 3)
+    c1 = np.clip(r1 + np.tile(np.arange(-1, 2), n), 0, n - 1)
+    flat = rng.choice(n * n // 2, size=n * 2, replace=False)
+    r2, c2 = np.divmod(flat, n)
+    key = np.unique(np.concatenate([r1 * n + c1, r2 * n + c2]))
+    rows, cols = np.divmod(key, n)
+    vals = rng.standard_normal(len(rows)).astype(np.float32)
+    m = coo_to_bmsparse(
+        rows.astype(np.int32), cols.astype(np.int32), vals, (n, n)
+    )
+    nd = min(8, len(jax.devices()))
+    mesh = make_mesh(nd)
+    sm = partition(m, nd, align=16)
+    spp = prepare_sharded(sm)
+    assert len(spp.dia_offsets) <= 128
+    v = rng.standard_normal(n).astype(np.float32)
+    u = np.asarray(
+        sharded_spmv_prepared(spp, jnp.asarray(v), mesh, dia_impl="xla")
+    )
+    ref = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)) @ v
+    np.testing.assert_allclose(u, ref, rtol=1e-4, atol=1e-5)
