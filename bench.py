@@ -105,6 +105,10 @@ def main():
         "blockdense64k": lambda: _from(
             make_blockdense(65536, 40960, seed=3), 65536),
         "rand64k": lambda: _from(make_random(65536, 3e-4, seed=1), 65536),
+        # production-scale cases (~30M / ~21M nnz)
+        "band2M": lambda: _from(make_banded(2_097_152, 16, seed=4), 2_097_152),
+        "blockdense1M": lambda: _from(
+            make_blockdense(1_048_576, 327_680, seed=5), 1_048_576),
     }
     _cache: dict = {}
 
@@ -264,6 +268,8 @@ def main():
         ("spgemm", "band256k"),
         ("spmv", "blockdense64k"),
         ("spgemm", "blockdense64k"),
+        ("spmv", "band2M"),
+        ("spmv", "blockdense1M"),
         ("spmv", "Ragusa16"),
         ("spgemm", "Ragusa16"),
         ("spmv", "rand64k"),

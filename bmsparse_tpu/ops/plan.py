@@ -4,9 +4,9 @@ The reference decompresses blocks inside every kernel launch via
 prefix-popcount shared-memory staging (ref: src/bmSparse_SPGEMM.cu:152-162)
 and reduces per-row partials with warp shuffles
 (ref: src/bmSparse_SPMV.cu:172-187) — cheap on a GPU, pathological on TPU:
-measured on v5e, XLA row gathers run ~1 Grow/s, lane gathers ~0.4 Grow/s,
-and segment_sum (scatter-add) a catastrophic ~0.08 Gblk/s, while plain
-fused multiply-reduce streams at ~465 GB/s. The TPU-native design therefore
+measured on v5e, XLA random row gathers run ~7 Mrow/s, lane gathers
+~0.5 Gidx/s, and segment_sum (scatter-add) a catastrophic ~0.08 Gblk/s,
+while fused multiply-reduce streams at ~600 GB/s. The TPU-native design
 moves ALL data-dependent addressing into a one-time `prepare()` step and
 reshapes the per-call op so that the only remaining dynamic access is one
 bounded gather of v:

@@ -9,25 +9,28 @@ phases map as follows (phase labels T1..T6 follow SURVEY.md §2 #4):
   T2  per-A-block task counts (gather, ref :857-864)
         -> take(B_row_count, A.bcol)
   T3  task-list expansion (scan/scatter/task_creator, ref :875-932)
-        -> searchsorted over the task-offset table (O(T log nb), no
-           scatter chain needed)
+        -> ONE jnp.repeat over stacked per-block fields (searchsorted and
+           scatter+cumsum formulations measured 40 ms / ~5 ms at 330k
+           tasks on v5e; repeat is 0.94 ms)
   T4  bitmap-product pruning (remove_if/multiplication_checker, ref :944-948)
-        -> structural product via int8 MXU matmul; zero-product tasks sort
-           to the tail and are sliced off (host path) or contribute exact
-           zeros (padded path)
+        -> bit-parallel byte-AND structural product on the packed words
+           (format/bitmap.py); zero-product tasks sort to the tail
   T5  sort tasks by C key (thrust::sort | bb_segsort, ref :963-1016)
-        -> one lax.sort with lexicographic (row, col) int32 keys; replaces
-           both strategies and the BORDER=2,730,000 crossover (ref :53)
+        -> one lax.sort with lexicographic (row, col) int32 keys carrying
+           the task product bitmaps; replaces both strategies and the
+           BORDER=2,730,000 crossover (ref :53)
   T6  C structure: keys, bitmaps (bmp_calculator OR-reduction), offsets,
       nnz (ref :1031-1107)
-        -> segment ids + segment_sum of expanded bits + cumsum
+        -> segment ids + row-granular segment_sum of bit planes + cumsum
 
-  numeric multiplyV11..V15 (ref :205-733) -> decompress-once dense 8x8
-      tiles + chunked batched block products + segment-sum accumulation
-      (see _numeric_xla; Pallas variant in ops/pallas/spgemm_kernel.py).
-      Like the reference's default tc_version=5 (the scalar variant,
-      ref :1230), the default here is the implementation that measures
-      fastest, selected per call via `impl`.
+  numeric multiplyV11..V15 (ref :205-733) -> task-SELL layout: C block on
+      the 128-lane axis, sigma-sorted by task count, per-chunk-K padded;
+      A/B tiles lane-gathered from transposed (64, nb+1) tables; the 8x8
+      block product is 8 VPU fused multiply-accumulates (the analogue of
+      the reference's default scalar variant tc_version=5, ref :1230);
+      accumulation is a dense K-sum; bit-order packing is the row-granular
+      sort-compaction in _compress_sigma. The chunked segment-sum path
+      (_numeric_xla) remains for the jit-safe padded/shard_map entry.
 
 Two entry points:
   * `spgemm(A, B)`       — host-orchestrated: syncs the data-dependent
