@@ -184,8 +184,8 @@ def main():
             a_idx, b_idx, ckr, ckc, t_ph, t_pl, nz = sg._build_tasks(
                 m, bt, offs, brs, total, t_pad, sentinel)
             num_alive = int(nz)
-            c_seg, cbrow, cbcol, c_hi, c_lo, c_off, nbc_t, nnzc_t = (
-                sg._c_symbolic(t_ph, t_pl, ckr, ckc, sentinel))
+            c_seg, keys_tbl, nbc_t, nnzc_t = sg._c_symbolic_scan(
+                t_ph, t_pl, ckr, ckc, sentinel)
             nbc, cnnz = int(nbc_t), int(nnzc_t)
             nnz_pad = max(bucket_size(max(cnnz, 1)), 1)
             a_flat = prepare(m).dense_flat
@@ -197,13 +197,15 @@ def main():
                 _, offs2, brs2, total2 = sg._task_counts(m2, bb, bb.block_rows)
                 ai, bi, kr, kc, ph2, pl2, nz2 = sg._build_tasks(
                     m2, bb, offs2, brs2, total2, t_pad, sentinel)
-                out = sg._c_symbolic(ph2, pl2, kr, kc, sentinel)
-                # consume the full symbolic result (bitmaps, offsets, seg
-                # ids) so XLA cannot dead-code-slice the phase
-                dep = (jnp.sum(out[3]) + jnp.sum(out[4])
-                       + jnp.sum(out[5]).astype(jnp.uint32)
-                       + jnp.sum(out[0]).astype(jnp.uint32)
-                       + out[7].astype(jnp.uint32))
+                cs2, tbl2, nbc2, nnz2 = sg._c_symbolic_scan(
+                    ph2, pl2, kr, kc, sentinel)
+                # consume the full symbolic result so XLA cannot
+                # dead-code-slice the phase
+                dep = (jnp.sum(tbl2).astype(jnp.uint32)
+                       + jnp.sum(cs2).astype(jnp.uint32)
+                       + nnz2.astype(jnp.uint32)
+                       + jnp.sum(ai).astype(jnp.uint32)
+                       + jnp.sum(bi).astype(jnp.uint32))
                 return hi ^ (dep >> 31)
 
             if time_left() < 150:
@@ -250,7 +252,7 @@ def main():
                 return
             t_num = time_chain(
                 num_step, a_flat, iters=10,
-                args=(b_flat, c_hi, c_lo, c_off, order_d, *tas, *tbs))
+                args=(b_flat, keys_tbl, idx_sig_d, *tas, *tbs))
             t = t_sym + t_num
             gnnz = cnnz / t / 1e9
             log(f"SpGEMM {name}: sym={t_sym*1e3:.2f}ms num={t_num*1e3:.2f}ms "
