@@ -139,3 +139,41 @@ def test_spgemm_verbose_phase_labels(capsys):
     assert "Task list size:" in out
     assert "Bmp reduction:" in out
     assert "Toda F:" in out
+
+
+def test_spgemm_prepared_operands():
+    # Prepared operands reuse decompressed tiles across calls
+    from bmsparse_tpu.ops.plan import prepare
+
+    rows, cols, vals = random_coo(96, 96, density=0.1, seed=17)
+    a = coo_to_bmsparse(rows, cols, vals, (96, 96))
+    bt = coo_to_bmsparse(rows, cols, vals, (96, 96), transposed=True)
+    pa, pb = prepare(a), prepare(bt)
+    c1 = spgemm(pa, pb)
+    c2 = spgemm(a, bt)
+    np.testing.assert_array_equal(np.asarray(c1.brow), np.asarray(c2.brow))
+    np.testing.assert_allclose(
+        np.asarray(c1.values)[: c1.nnz], np.asarray(c2.values)[: c2.nnz]
+    )
+    ref = sp.csr_matrix((vals, (rows, cols)), shape=(96, 96))
+    assert c1.compare((ref @ ref).tocoo()) < 1e-5
+
+
+def test_spgemm_result_feeds_spmv_and_spgemm():
+    # C must be a fully valid container: usable as an operand downstream
+    from bmsparse_tpu.ops.spmv import spmv
+    from bmsparse_tpu.ops.plan import prepare
+
+    rows, cols, vals = random_coo(64, 64, density=0.12, seed=23)
+    a = coo_to_bmsparse(rows, cols, vals, (64, 64))
+    bt = coo_to_bmsparse(rows, cols, vals, (64, 64), transposed=True)
+    c = spgemm(a, bt)
+    v = np.random.default_rng(0).standard_normal(64).astype(np.float32)
+    u = np.asarray(spmv(prepare(c), jnp.asarray(v)))
+    ref = sp.csr_matrix((vals, (rows, cols)), shape=(64, 64))
+    np.testing.assert_allclose(
+        u, (ref @ ref) @ v, rtol=1e-3, atol=1e-4
+    )
+    # C @ B again (A^3)
+    c2 = spgemm(c, bt)
+    assert c2.compare((ref @ ref @ ref).tocoo()) < 1e-4
