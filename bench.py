@@ -154,7 +154,14 @@ def main():
                 f"{gnnz:.3f} Gnnz/s ({frac*100:.1f}% of roofline)")
             detail["spmv"][f"{name}:{impl}"] = dict(
                 nnz=nnz, blocks=nb, seconds=t, gnnz_s=gnnz, roofline_frac=frac)
-            if name != "Ragusa16" and name != "rand64k" and gnnz > headline_gnnz:
+            # headline = the production-scale banded case: its 143 MB
+            # strip cannot hide in VMEM across iterations, so the number
+            # is a stable cold-HBM measurement (small cases sometimes
+            # cache operands on-chip and exceed the stated roofline)
+            if name == "band2M" or (
+                headline_gnnz == 0.0
+                and name not in ("Ragusa16", "rand64k")
+            ):
                 headline_gnnz, headline_frac = gnnz, frac
 
     # ---- SpGEMM (A . A, like the reference batch harness) ----------------
@@ -214,11 +221,14 @@ def main():
             t_sym = time_chain(sym_step, m.bmp_hi, iters=10, args=(m, bt))
 
             # numeric: host plan once (timed on wall clock), then the
-            # device stage (groups + sigma compress) as a chain
+            # device stage (groups + gathers + compress) as a chain
             th0 = time.monotonic()
             c_seg_h = np.asarray(c_seg[:num_alive])
             a_idx_h = np.asarray(a_idx[:num_alive])
             b_idx_h = np.asarray(b_idx[:num_alive])
+            counts_h = np.bincount(
+                c_seg_h, minlength=max(nbc, 1))[: max(nbc, 1)]
+            end_pos = (np.cumsum(counts_h) - 1).astype(np.int64)
             groups, order = sg._plan_task_sell(
                 c_seg_h, a_idx_h, b_idx_h, nbc,
                 a_flat.shape[0], b_flat.shape[0])
@@ -226,12 +236,12 @@ def main():
             tas = [jnp.asarray(ta) for ta, _ in groups]
             tbs = [jnp.asarray(tb) for _, tb in groups]
             rows_total = sum(ta.shape[0] * 128 for ta, _ in groups)
-            order_pad = np.full((rows_total,), 2**30, np.int64)
-            order_pad[: len(order)] = order
-            order_d = jnp.asarray(order_pad.astype(np.int32))
+            idx_sig = np.full((rows_total,), 2**30, np.int64)
+            idx_sig[: len(order)] = end_pos[order]
+            idx_sig_d = jnp.asarray(idx_sig.astype(np.int32))
             ks = tuple(ta.shape[1] for ta, _ in groups)
 
-            def num_step(af, bf, chi, clo, cof, od, *tabs):
+            def num_step(af, bf, tbl, isig, *tabs):
                 scale = jnp.float32(1.0) + af[0, 0] * jnp.float32(1e-30)
                 a_t = jnp.concatenate(
                     [af.astype(jnp.float32).T * scale,
@@ -243,7 +253,12 @@ def main():
                 parts = [sg._numeric_sell_group(a_t, b_t, tabs[i], tabs[n + i])
                          for i in range(n)]
                 c_rows = parts[0] if n == 1 else jnp.concatenate(parts)
-                cv = sg._compress_sigma(c_rows, od, chi, clo, cof, nnz_pad)
+                sig = jnp.take(tbl, isig, axis=0, mode="fill", fill_value=0)
+                cv = sg._compress_rows(
+                    c_rows, sig[:, 2].astype(jnp.uint32),
+                    sig[:, 3].astype(jnp.uint32), sig[:, 4], nnz_pad)
+                # consume ALL of cv: a single-element dependence lets XLA
+                # dead-code-eliminate most of the numeric phase (measured!)
                 return af + jnp.sum(cv) * jnp.float32(1e-30)
 
             if time_left() < 90:

@@ -471,25 +471,22 @@ def _compress_core(c_rows, hi, lo, off, num_c_nnz: int) -> jax.Array:
     bits = bm.expand_bits(hi, lo)                       # (R, 64)
     rank = bm.prefix_popcount(bits)
     r = (off % 64)[:, None].astype(jnp.int32)
-    dst = r + rank
     set_ = bits > 0
-    part0 = set_ & (dst < 64)
-    part1 = set_ & (dst >= 64)
     lane = jnp.arange(64, dtype=jnp.int32)[None, :]
 
-    def compact(mask):
-        # stable 64-lane sort: masked values to the front in rank order
-        key = jnp.where(mask, rank, 64 + lane)
-        _, v = jax.lax.sort((key, c_rows), dimension=1, num_keys=1)
-        cnt = jnp.sum(mask, axis=1, dtype=jnp.int32)[:, None]
-        return jnp.where(lane < cnt, v, 0.0)
-
-    v0 = compact(part0)
-    v1 = compact(part1)
-    # rotate part 0 right by its per-row lane offset (6 conditional rolls)
-    for k in range(6):
-        rolled = jnp.roll(v0, 1 << k, axis=1)
-        v0 = jnp.where((r >> k) & 1 > 0, rolled, v0)
+    # one stable 64-lane sort packs the set-bit values to the front in
+    # rank order; one variable right-rotation by r then holds BOTH parts:
+    # lanes [r, 64) carry the first-row values, wrapped lanes [0, cnt+r-64)
+    # carry the next-row values.
+    key = jnp.where(set_, rank, 64 + lane)
+    _, packed = jax.lax.sort((key, c_rows), dimension=1, num_keys=1)
+    cnt = jnp.sum(set_, axis=1, dtype=jnp.int32)[:, None]
+    packed = jnp.where(lane < cnt, packed, 0.0)
+    for k in range(6):                # conditional rolls: rotate right by r
+        rolled = jnp.roll(packed, 1 << k, axis=1)
+        packed = jnp.where((r >> k) & 1 > 0, rolled, packed)
+    v0 = jnp.where((lane >= r) & (lane < r + cnt), packed, 0.0)
+    v1 = jnp.where(lane < cnt + r - 64, packed, 0.0)
 
     t_rows = -(-num_c_nnz // 64) if num_c_nnz else 1
     b_row = (off // 64).astype(jnp.int32)
