@@ -82,7 +82,6 @@ def main():
     from bmsparse_tpu import coo_to_bmsparse, mmread_bmsparse
     from bmsparse_tpu.ops.plan import prepare
     from bmsparse_tpu.ops.spmv import spmv
-    from bmsparse_tpu.ops.spgemm import spgemm_padded, _task_counts
     from bmsparse_tpu.config import bucket_size
     from bmsparse_tpu.utils import roofline as rl
     from bmsparse_tpu.utils.benchit import ensure_handshake, time_chain

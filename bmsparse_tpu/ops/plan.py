@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import BLOCK_HEIGHT, BLOCK_WIDTH
+from ..config import BLOCK_HEIGHT
 from ..format.bmsparse import BmSparse, cdiv
 
 SELL_C = 128                 # lanes per chunk = VPU lane width

@@ -14,7 +14,6 @@ BORDER crossover (SURVEY.md §7.3).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def segmented_sort(seg_ids: jax.Array, *keys_and_vals: jax.Array, num_keys: int = 1):

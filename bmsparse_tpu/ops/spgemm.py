@@ -49,13 +49,12 @@ are stored as explicit zeros, exactly like the reference.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
-from ..config import BLOCK_HEIGHT, BLOCK_WIDTH, bucket_size, get_config
+from ..config import bucket_size, get_config
 from ..format import bitmap as bm
 from ..format.bmsparse import BmSparse
 from ..utils.timing import PhaseTimer
@@ -609,7 +608,7 @@ def spgemm(
     Operands may be BmSparse or Prepared (ops.plan.prepare) — pass Prepared
     when reusing a matrix across calls to amortize decompression.
     """
-    from .plan import Prepared, as_matrix, prepare
+    from .plan import Prepared, as_matrix
 
     a_prep = a if isinstance(a, Prepared) else None
     b_prep = b if isinstance(b, Prepared) else None
