@@ -69,12 +69,28 @@ def make_blockdense(n, num_blocks, seed=0):
 
 def main():
     import os
+    import signal
     import time
 
     import jax
     import jax.numpy as jnp
 
     deadline = time.monotonic() + float(os.environ.get("BMSP_BENCH_BUDGET_S", 420))
+    headline_gnnz = 0.0
+    headline_frac = 0.0
+
+    # If the harness kills us before the budget expires, still emit the
+    # headline JSON with whatever has been measured so far.
+    def _emit_and_exit(signum, frame):  # pragma: no cover
+        print(json.dumps({
+            "metric": "bmsparse_spmv_throughput",
+            "value": round(headline_gnnz, 4),
+            "unit": "Gnnz/s",
+            "vs_baseline": round(headline_frac, 4),
+        }), flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _emit_and_exit)
 
     def time_left():
         return deadline - time.monotonic()
@@ -122,8 +138,6 @@ def main():
             log(f"{name}: built in {time.monotonic()-t0:.1f}s")
         return _cache[name]
 
-    headline_gnnz = 0.0
-    headline_frac = 0.0
 
     def bench_spmv(name, m):
         nonlocal headline_gnnz, headline_frac
@@ -278,13 +292,13 @@ def main():
         except Exception as e:
             log(f"SpGEMM {name} failed: {e}")
 
-    # priority schedule: headline cases first, tiny/adversarial last
+    # priority schedule: the headline case first, tiny/adversarial last
     for kind, name in [
-        ("spmv", "band256k"),
+        ("spmv", "band2M"),
         ("spgemm", "band256k"),
         ("spmv", "blockdense64k"),
         ("spgemm", "blockdense64k"),
-        ("spmv", "band2M"),
+        ("spmv", "band256k"),
         ("spmv", "blockdense1M"),
         ("spmv", "Ragusa16"),
         ("spgemm", "Ragusa16"),

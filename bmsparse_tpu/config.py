@@ -23,11 +23,6 @@ BLOCK_HEIGHT = 8
 BLOCK_SIZE = BLOCK_WIDTH * BLOCK_HEIGHT  # 64 — bits in one occupancy bitmap
 
 
-def _env_int(name: str, default: int) -> int:
-    v = os.environ.get(name)
-    return int(v) if v else default
-
-
 def _env_bool(name: str, default: bool) -> bool:
     v = os.environ.get(name)
     if v is None:
@@ -45,13 +40,6 @@ class Config:
     results.
     """
 
-    # Blocks processed per Pallas grid step in the SpMV kernel. 16 blocks of
-    # 8 columns fill one 128-lane VPU tile.
-    spmv_blocks_per_tile: int = _env_int("BMSP_SPMV_BLOCKS_PER_TILE", 16)
-    # Grid chunking for SpMV (number of 128-lane tiles per grid step).
-    spmv_tiles_per_step: int = _env_int("BMSP_SPMV_TILES_PER_STEP", 64)
-    # Tasks per Pallas grid step in the SpGEMM numeric kernel.
-    spgemm_tasks_per_step: int = _env_int("BMSP_SPGEMM_TASKS_PER_STEP", 512)
     # Shape-bucketing granularity for host-orchestrated (non-padded) paths:
     # dynamic sizes are rounded up to the next multiple of 2**bucket_bits of
     # their leading power of two, bounding jit recompiles. 0 = exact shapes.
