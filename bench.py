@@ -177,6 +177,21 @@ def main():
             ):
                 headline_gnnz, headline_frac = gnnz, frac
 
+        if name == "band2M" and time_left() > 120:
+            # bonus line: bf16 tier storage (the reference's half-input
+            # regime; fp32 accumulation) — roughly halves HBM traffic
+            try:
+                mp16 = prepare(m, dtype=jnp.bfloat16)
+                step = lambda s, mm: spmv(mm, s) * jnp.float32(1e-2)
+                t = time_chain(step, v0, iters=30, args=(mp16,))
+                gnnz = nnz / t / 1e9
+                log(f"SpMV {name} [bf16]: t={t*1e6:.1f}us "
+                    f"{gnnz:.3f} Gnnz/s")
+                detail["spmv"][f"{name}:bf16"] = dict(
+                    nnz=nnz, seconds=t, gnnz_s=gnnz)
+            except Exception as e:  # pragma: no cover
+                log(f"SpMV {name} [bf16] failed: {e}")
+
     # ---- SpGEMM (A . A, like the reference batch harness) ----------------
     # The two jitted stages (symbolic T1-T6, numeric+compress) are timed as
     # dependent chains; the host-orchestrated wrapper adds ~30 ms per scalar

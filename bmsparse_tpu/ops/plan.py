@@ -114,11 +114,11 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
             col_shift: int = 0) -> Prepared:
     """Build the tiered execution plan (host-side numpy, once per matrix).
 
-    dtype: compute/storage dtype for the plan tiers; defaults to
-    promote(m.dtype, float32) — i.e. f32 for f32/bf16 matrices (the
-    reference's half inputs become bf16 with f32 accumulation) and f64
-    for f64 matrices (CPU-path parity with the reference's double
-    instantiation; TPUs have no f64 units).
+    dtype: storage dtype for the plan tiers; defaults to the matrix's
+    own value dtype — bf16 matrices get bf16 tiers (half the HBM
+    traffic; the reference's half-input regime), f64 matrices get f64
+    tiers (CPU-path parity with the reference's double instantiation).
+    Accumulation is always promote(dtype, float32) in the ops.
 
     force_layout: optional (dia_offsets, groups) where groups is a tuple
     of (K, chunks) pairs in descending-K order. Forces the plan's STATIC
@@ -133,7 +133,8 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
     if isinstance(m, Prepared):
         return m
     if dtype is None:
-        dtype = jnp.promote_types(m.dtype, jnp.float32)
+        dtype = m.dtype if jnp.issubdtype(m.dtype, jnp.floating) \
+            else jnp.float32
     np_dtype = np.dtype(dtype)
     dense_flat = m.decompress_blocks_flat().astype(dtype)
 

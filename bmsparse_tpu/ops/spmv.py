@@ -113,9 +113,10 @@ def _spmv_prepared(p, v: jax.Array, dia_impl: str = "xla") -> jax.Array:
     inverse-permutation row gather.
     """
     m = p.m
-    # compute dtype follows the plan (f32 normally, f64 for double
-    # matrices on the CPU path — reference double-instantiation parity)
-    cdt = p.dense_flat.dtype
+    # compute dtype: f32 accumulation for f32/bf16 plans (a bf16 plan
+    # halves tier storage/traffic — the reference's half-input regime),
+    # f64 for double matrices on the CPU path
+    cdt = jnp.promote_types(p.dense_flat.dtype, jnp.float32)
     nbr = m.block_rows
     nbc = m.block_cols
     npad = nbr * BLOCK_HEIGHT
@@ -165,7 +166,7 @@ def dia_apply(
     which are global statics shared by every shard) live in global
     coordinates.
     """
-    cdt = dia.dtype
+    cdt = jnp.promote_types(dia.dtype, jnp.float32)
     r_rows = dia.shape[1]
     offs = offsets
     lead_rows = -(-(max(abs(o) for o in offs) // 128 + 1) // 8) * 8
@@ -217,7 +218,7 @@ def sell_apply(
     multiply-reduce over (j, k), a lane->sublane transpose; then the
     inverse-permutation row gather places rows (fill rows -> 0).
     """
-    cdt = sell_dense[0].dtype
+    cdt = jnp.promote_types(sell_dense[0].dtype, jnp.float32)
     # v as (8, nbc+1): lanes = block columns, one zero sentinel column.
     v2 = jnp.concatenate(
         [
