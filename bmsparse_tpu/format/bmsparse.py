@@ -213,3 +213,19 @@ class BmSparse:
             f"/{self.nb_pad}, dtype={self.values.dtype}, "
             f"transposed={self.transposed})"
         )
+
+    def print_matrix(self, stream=None, max_entries: int = 200) -> None:
+        """Human-readable COO dump — the cusp::print analogue (the
+        reference pulls in cusp/print.h; SURVEY.md §2 #13)."""
+        import sys
+
+        out = stream or sys.stdout
+        r, c, v = self.generate_coo()
+        out.write(
+            f"sparse matrix <{self.num_rows}, {self.num_cols}> "
+            f"with {len(r)} entries\n"
+        )
+        for i in range(min(len(r), max_entries)):
+            out.write(f"  {int(r[i])} {int(c[i])} {v[i]}\n")
+        if len(r) > max_entries:
+            out.write(f"  ... ({len(r) - max_entries} more)\n")
