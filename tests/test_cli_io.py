@@ -125,3 +125,28 @@ def test_cli_batch_survives_bad_matrix(tmp_path):
     text = out_file.read_text()
     assert "ERROR" in text  # ...but the sweep completed
     assert "==== A_matrix ====" in text
+
+
+def test_cg_example():
+    """The CG example converges on a small SPD system."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import jax.numpy as jnp
+
+    from cg import build_spd_stencil, cg
+    from bmsparse_tpu import coo_to_bmsparse
+    from bmsparse_tpu.ops.plan import prepare
+
+    n = 512
+    rows, cols, vals = build_spd_stencil(n)
+    a = coo_to_bmsparse(rows, cols, vals, (n, n), backend="host")
+    p = prepare(a)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(n).astype(np.float32)
+    x, hist = cg(p, jnp.asarray(b), 200)
+    # residual should have dropped by many orders of magnitude
+    assert float(hist[-1]) ** 0.5 < 1e-3 * float(hist[0]) ** 0.5
+    # and A @ x == b
+    ax = np.asarray(sp.coo_matrix((vals, (rows, cols)), shape=(n, n)) @ np.asarray(x))
+    np.testing.assert_allclose(ax, b, rtol=1e-3, atol=1e-3)
