@@ -89,6 +89,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: compiles over the tunnel cost 40-90 s
+    # per shape; cache hits make repeat bench runs cover far more cases
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/root/repo/.jax_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover
+        pass
+
     deadline = time.monotonic() + float(os.environ.get("BMSP_BENCH_BUDGET_S", 420))
     headline_gnnz = 0.0
     headline_frac = 0.0
@@ -209,13 +220,18 @@ def main():
                 log(f"SpMV {name} [bf16] failed: {e}")
 
     # ---- SpGEMM (A . A, like the reference batch harness) ----------------
-    # The two jitted stages (symbolic T1-T6, numeric+compress) are timed as
-    # dependent chains; the host-orchestrated wrapper adds ~30 ms per scalar
-    # sync on this tunneled runtime, which is infra latency, not TPU time.
+    # Three measurements per case:
+    #   e2e   — one warm one-shot spgemm() wall time (includes every host
+    #           sync; the number a user of the reference CLI would see);
+    #   sym / plan / num — the jitted stages as dependent chains (pure
+    #           device time; plan is the round-2 on-device numeric planner
+    #           that replaced the round-1 815 ms host-numpy plan);
+    #   roofline fraction — num phase vs utils.roofline.spgemm_min_bytes.
     from bmsparse_tpu.ops import spgemm as sg
+    from bmsparse_tpu.ops.product import prepare_product
 
-    def bench_spgemm(name, m):
-        if time_left() < 90:
+    def bench_spgemm(name, m, impl="pallas"):
+        if time_left() < 120:
             log(f"SpGEMM {name}: skipped (bench budget)")
             return
         try:
@@ -227,21 +243,22 @@ def main():
             )
             cnt, offs, brs, total = sg._task_counts(m, bt, bt.block_rows)
             ntasks = int(total)
-            if ntasks > 8_000_000:
+            if ntasks > 16_000_000:
                 log(f"SpGEMM {name}: skipped ({ntasks} tasks)")
                 return
             t_pad = bucket_size(max(ntasks, 1))
             sentinel = m.block_rows + 1
-            a_idx, b_idx, ckr, ckc, t_ph, t_pl, nz = sg._build_tasks(
-                m, bt, offs, brs, total, t_pad, sentinel)
-            num_alive = int(nz)
-            c_seg, keys_tbl, nbc_t, nnzc_t = sg._c_symbolic_scan(
-                t_ph, t_pl, ckr, ckc, sentinel)
-            nbc, cnnz = int(nbc_t), int(nnzc_t)
-            nnz_pad = max(bucket_size(max(cnnz, 1)), 1)
-            a_flat = prepare(m).dense_flat
-            b_flat = prepare(bt).dense_flat
-            log(f"SpGEMM {name}: tasks={ntasks} Cblocks={nbc} Cnnz={cnnz}")
+
+            # warm one-shot (compiles every stage), then timed one-shot
+            c = sg.spgemm(m, bt, impl=impl)
+            jax.block_until_ready(c.values)
+            th0 = time.monotonic()
+            c = sg.spgemm(m, bt, impl=impl)
+            jax.block_until_ready(c.values)
+            t_e2e = time.monotonic() - th0
+            nbc, cnnz = int(c.nb), c.nnz
+            log(f"SpGEMM {name}: tasks={ntasks} Cblocks={nbc} Cnnz={cnnz} "
+                f"e2e={t_e2e*1e3:.1f}ms (warm one-shot incl host syncs)")
 
             def sym_step(hi, mm, bb):
                 m2 = dataclasses.replace(mm, bmp_hi=hi)
@@ -249,94 +266,127 @@ def main():
                 ai, bi, kr, kc, ph2, pl2, nz2 = sg._build_tasks(
                     m2, bb, offs2, brs2, total2, t_pad, sentinel)
                 cs2, tbl2, nbc2, nnz2 = sg._c_symbolic_scan(
-                    ph2, pl2, kr, kc, sentinel)
+                    ph2, pl2, kr, kc, sentinel, ai, bi)
                 # consume the full symbolic result so XLA cannot
                 # dead-code-slice the phase
                 dep = (jnp.sum(tbl2).astype(jnp.uint32)
                        + jnp.sum(cs2).astype(jnp.uint32)
-                       + nnz2.astype(jnp.uint32)
-                       + jnp.sum(ai).astype(jnp.uint32)
-                       + jnp.sum(bi).astype(jnp.uint32))
+                       + nnz2.astype(jnp.uint32))
                 return hi ^ (dep >> 31)
 
             if time_left() < 150:
-                log(f"SpGEMM {name}: skipped sym+num (bench budget)")
+                log(f"SpGEMM {name}: phase chains skipped (bench budget)")
                 return
             t_sym = time_chain(sym_step, m.bmp_hi, iters=10, args=(m, bt))
 
-            # numeric: host plan once (timed on wall clock), then the
-            # device stage (groups + gathers + compress) as a chain
+            # structure plan (cached product): exposes the device planner
+            # and the cached numeric stage separately
             th0 = time.monotonic()
-            c_seg_h = np.asarray(c_seg[:num_alive])
-            a_idx_h = np.asarray(a_idx[:num_alive])
-            b_idx_h = np.asarray(b_idx[:num_alive])
-            counts_h = np.bincount(
-                c_seg_h, minlength=max(nbc, 1))[: max(nbc, 1)]
-            end_pos = (np.cumsum(counts_h) - 1).astype(np.int64)
-            groups, order = sg._plan_task_sell(
-                c_seg_h, a_idx_h, b_idx_h, nbc,
-                a_flat.shape[0], b_flat.shape[0])
-            t_plan = time.monotonic() - th0
-            tas = [jnp.asarray(ta) for ta, _ in groups]
-            tbs = [jnp.asarray(tb) for _, tb in groups]
-            rows_total = sum(ta.shape[0] * 128 for ta, _ in groups)
-            idx_sig = np.full((rows_total,), 2**30, np.int64)
-            idx_sig[: len(order)] = end_pos[order]
-            idx_sig_d = jnp.asarray(idx_sig.astype(np.int32))
-            ks = tuple(ta.shape[1] for ta, _ in groups)
+            pp = prepare_product(m, bt, impl=impl)
+            t_prep = time.monotonic() - th0
+            p = pp.plan
+            nbc_pad = p.nbc_pad
 
-            def num_step(af, bf, tbl, isig, *tabs):
-                scale = jnp.float32(1.0) + af[0, 0] * jnp.float32(1e-30)
-                a_t = jnp.concatenate(
-                    [af.astype(jnp.float32).T * scale,
-                     jnp.zeros((64, 1), jnp.float32)], axis=1)
-                b_t = jnp.concatenate(
-                    [bf.astype(jnp.float32).T,
-                     jnp.zeros((64, 1), jnp.float32)], axis=1)
-                n = len(tabs) // 2
-                parts = [sg._numeric_sell_group(a_t, b_t, tabs[i], tabs[n + i])
-                         for i in range(n)]
-                c_rows = parts[0] if n == 1 else jnp.concatenate(parts)
-                sig = jnp.take(tbl, isig, axis=0, mode="fill", fill_value=0)
-                cv = sg._compress_rows(
-                    c_rows, sig[:, 2].astype(jnp.uint32),
-                    sig[:, 3].astype(jnp.uint32), sig[:, 4], nnz_pad)
-                # consume ALL of cv: a single-element dependence lets XLA
+            def plan_step(cs):
+                outs = sg._plan_sell_device(
+                    cs, jnp.int32(p.num_alive), jnp.int32(p.num_c_blocks),
+                    nbc_pad)
+                dep = sum(jnp.sum(o).astype(jnp.int32) for o in outs)
+                return cs ^ (dep >> 30)
+
+            t_plan = time_chain(plan_step, p.c_seg, iters=10)
+
+            tas = [s[0] for s in pp._slots]
+            tbs = [s[1] for s in pp._slots]
+            ks = tuple(int(t.shape[1]) for t in tas)
+
+            def num_step(af, bf, shi, slo, soff, *tabs):
+                # af is the loop carry, so the whole stage depends on it
+                # (no hoisting); the return folds the FULL cv back into
+                # the carry — a single-element dependence lets XLA
                 # dead-code-eliminate most of the numeric phase (measured!)
-                return af + jnp.sum(cv) * jnp.float32(1e-30)
+                a_t = jnp.concatenate(
+                    [af.T, jnp.zeros((64, 1), af.dtype)], axis=1)
+                b_t = jnp.concatenate(
+                    [bf.T, jnp.zeros((64, 1), bf.dtype)], axis=1)
+                n = len(tabs) // 2
+                parts = [
+                    sg._numeric_sell_group(
+                        a_t, b_t, tabs[i], tabs[n + i], impl)
+                    for i in range(n)
+                ]
+                c_rows = parts[0] if n == 1 else jnp.concatenate(parts)
+                cv = sg._compress_rows(c_rows, shi, slo, soff, p.nnz_pad)
+                return af + (
+                    jnp.sum(cv) * jnp.float32(1e-30)
+                ).astype(af.dtype)
 
             if time_left() < 90:
                 log(f"SpGEMM {name}: sym={t_sym*1e3:.2f}ms, num skipped "
                     "(bench budget)")
                 return
             t_num = time_chain(
-                num_step, a_flat, iters=10,
-                args=(b_flat, keys_tbl, idx_sig_d, *tas, *tbs))
-            t = t_sym + t_num
-            gnnz = cnnz / t / 1e9
-            log(f"SpGEMM {name}: sym={t_sym*1e3:.2f}ms num={t_num*1e3:.2f}ms "
-                f"plan={t_plan*1e3:.2f}ms(host) ks={ks} {gnnz:.3f} Gnnz(C)/s")
+                num_step, p.a_flat, iters=10,
+                args=(p.b_flat, pp._sig_hi, pp._sig_lo, pp._sig_off,
+                      *tas, *tbs))
+            t_dev = t_sym + t_plan + t_num
+            gnnz = cnnz / t_dev / 1e9
+            min_bytes = rl.spgemm_min_bytes(
+                m.nnz, int(m.nb), bt.nnz, int(bt.nb), ntasks, cnnz, nbc)
+            num_roof = min_bytes / bw / 1e9   # seconds at HBM speed
+            num_frac = num_roof / max(t_num, 1e-12)
+            log(f"SpGEMM {name} [{impl}]: sym={t_sym*1e3:.2f}ms "
+                f"plan={t_plan*1e3:.2f}ms num={t_num*1e3:.2f}ms "
+                f"ks={ks} {gnnz:.3f} Gnnz(C)/s "
+                f"(num phase {num_frac*100:.1f}% of roofline)")
             detail["spgemm"][name] = dict(
-                tasks=ntasks, c_blocks=nbc, c_nnz=cnnz,
-                sym_seconds=t_sym, num_seconds=t_num,
-                host_plan_seconds=t_plan, gnnz_s=gnnz)
+                tasks=ntasks, c_blocks=nbc, c_nnz=cnnz, impl=impl,
+                e2e_seconds=t_e2e, prepare_product_seconds=t_prep,
+                sym_seconds=t_sym, plan_seconds=t_plan,
+                num_seconds=t_num, gnnz_s=gnnz,
+                num_roofline_frac=num_frac)
+
+            # bf16 operand tiles (the reference's half-input regime:
+            # half traffic in the gather-dominated numeric phase)
+            if time_left() > 150:
+                af16 = p.a_flat.astype(jnp.bfloat16)
+                bf16 = p.b_flat.astype(jnp.bfloat16)
+                t16 = time_chain(
+                    num_step, af16, iters=10,
+                    args=(bf16, pp._sig_hi, pp._sig_lo, pp._sig_off,
+                          *tas, *tbs))
+                log(f"SpGEMM {name} [bf16 tiles]: num={t16*1e3:.2f}ms")
+                detail["spgemm"][name]["num_bf16_seconds"] = t16
         except Exception as e:
             log(f"SpGEMM {name} failed: {e}")
 
-    # priority schedule: the headline case first, tiny/adversarial last
+    # priority schedule: the headline case first, the BORDER-scale SpGEMM
+    # (>2.73M tasks — the reference's bb_segsort regime,
+    # ref src/bmSparse_SPGEMM.cu:53) high, tiny/adversarial last
+    _build_est = {"band2M": 75, "stencil2M": 55, "blockdense1M": 20}
     for kind, name in [
         ("spmv", "stencil2M"),
         ("spgemm", "band256k"),
+        ("spgemm", "band2M"),
         ("spmv", "band2M"),
-        ("spmv", "blockdense64k"),
-        ("spgemm", "blockdense64k"),
-        ("spmv", "band256k"),
         ("spmv", "blockdense1M"),
+        ("spgemm", "blockdense64k"),
+        ("spmv", "blockdense64k"),
+        ("spmv", "band256k"),
         ("spmv", "Ragusa16"),
         ("spgemm", "Ragusa16"),
         ("spmv", "rand64k"),
         ("spgemm", "rand64k"),
     ]:
+        # budget check BEFORE the (possibly minute-scale) matrix build —
+        # round 1 built band2M for 69 s and then skipped every benchmark
+        # on it
+        need = (90 if kind == "spmv" else 150) + (
+            0 if name in _cache else _build_est.get(name, 5)
+        )
+        if time_left() < need:
+            log(f"{kind} {name}: skipped before build (bench budget)")
+            continue
         try:
             m = get_matrix(name)
         except Exception as e:  # pragma: no cover

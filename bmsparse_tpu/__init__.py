@@ -8,6 +8,8 @@ Public API:
     read_matrix_market, mmread_bmsparse, save_bmsparse, load_bmsparse
     spmv, csr_spmv                 — u = A @ v
     spgemm                         — C = A @ B
+    prepare (ops.plan)             — tiered per-matrix SpMV/operand plan
+    prepare_product (ops.product)  — structure-cached iterated SpGEMM
     mean_relative_error            — reference `compare()` semantics
 """
 
@@ -33,3 +35,9 @@ def spgemm(*args, **kwargs):
     from .ops.spgemm import spgemm as _spgemm
 
     return _spgemm(*args, **kwargs)
+
+
+def prepare_product(*args, **kwargs):
+    from .ops.product import prepare_product as _pp
+
+    return _pp(*args, **kwargs)

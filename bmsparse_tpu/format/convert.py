@@ -107,6 +107,23 @@ def _coo_to_bmsparse_host(rows, cols, vals, shape, transposed):
     cols = np.asarray(cols, np.int64)
     vals = np.asarray(vals)
     nbc = cdiv(shape[1], BLOCK_WIDTH)
+    if len(rows) == 0:
+        # mirror the device path's empty-input convention: one padding
+        # block with a zero bitmap, nb == 0
+        dtype = (vals.dtype if np.issubdtype(vals.dtype, np.floating)
+                 else np.float32)
+        nbr = cdiv(shape[0], BLOCK_HEIGHT)
+        return BmSparse(
+            brow=jnp.full((1,), nbr, jnp.int32),
+            bcol=jnp.zeros((1,), jnp.int32),
+            bmp_hi=jnp.zeros((1,), jnp.uint32),
+            bmp_lo=jnp.zeros((1,), jnp.uint32),
+            offsets=jnp.zeros((1,), jnp.int32),
+            values=jnp.zeros((1,), dtype),
+            nb=jnp.int32(0),
+            num_rows=shape[0], num_cols=shape[1], nnz=0,
+            transposed=transposed,
+        )
     intra = (
         (cols % 8) * 8 + (rows % 8) if transposed
         else (rows % 8) * 8 + (cols % 8)
@@ -114,6 +131,17 @@ def _coo_to_bmsparse_host(rows, cols, vals, shape, transposed):
     bid = (rows >> 3) * nbc + (cols >> 3)
     order = np.lexsort((intra, bid))
     bid, intra, vals = bid[order], intra[order], vals[order]
+    dup = (bid[1:] == bid[:-1]) & (intra[1:] == intra[:-1])
+    if dup.any():
+        # duplicate (row, col) entries would corrupt the format (bitmap
+        # popcount < stored value count); sum them like scipy/cusp COO
+        # assembly does
+        key_new = np.concatenate([[True], ~dup])
+        grp = np.cumsum(key_new) - 1
+        vsum = np.zeros(grp[-1] + 1, vals.dtype)
+        np.add.at(vsum, grp, vals)
+        keep = np.nonzero(key_new)[0]
+        bid, intra, vals = bid[keep], intra[keep], vsum
     ublk, start, counts = np.unique(bid, return_index=True, return_counts=True)
     nb = len(ublk)
     brow = (ublk // nbc).astype(np.int32)
@@ -132,7 +160,7 @@ def _coo_to_bmsparse_host(rows, cols, vals, shape, transposed):
         bmp_hi=jnp.asarray(hi), bmp_lo=jnp.asarray(lo),
         offsets=jnp.asarray(offsets), values=jnp.asarray(vals.astype(dtype)),
         nb=jnp.int32(nb),
-        num_rows=shape[0], num_cols=shape[1], nnz=len(rows),
+        num_rows=shape[0], num_cols=shape[1], nnz=len(vals),
         transposed=transposed,
     )
 

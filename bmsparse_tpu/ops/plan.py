@@ -100,8 +100,10 @@ def _choose_diagonals(
         return np.empty((0,), np.int64)
     dev = cols.astype(np.int64) - rows.astype(np.int64) - col_shift
     offs, counts = np.unique(dev, return_counts=True)
-    # diag o holds (i, i+o) for i in [max(0,-o), min(n_rows, n_cols-o))
-    length = np.minimum(n_rows, n_cols - offs) - np.maximum(0, -offs)
+    # diag o holds (i, i+col_shift+o) for
+    # i in [max(0,-col_shift-o), min(n_rows, n_cols-col_shift-o))
+    length = (np.minimum(n_rows, n_cols - col_shift - offs)
+              - np.maximum(0, -col_shift - offs))
     fill = counts / np.maximum(length, 1)
     keep = offs[fill >= DIA_MIN_FILL]
     if len(keep) > MAX_DIAGS:

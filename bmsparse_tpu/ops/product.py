@@ -1,0 +1,132 @@
+"""Cached SpGEMM products: pay the symbolic + planning cost once per
+structure, re-run only the numeric phase per multiply.
+
+The reference re-runs its full pipeline every call (it has no caching
+layer), but its planning cost is small because GPU scatters are cheap. On
+TPU the planner's sorts/gathers still cost a few ms; iterated products
+with fixed structure — A^k chains, polynomial/Chebyshev filters, graph
+multi-hop expansions, re-multiplies after value updates — should not pay
+them repeatedly. `prepare_product(A, B)` runs T1-T6 + the device numeric
+plan (ops/spgemm.py:_plan_product) and caches every structure-dependent
+artifact: the per-K-group slot operand indices, the compress tables, and
+the C container metadata. Calling the product then costs only:
+
+  gather operand tiles -> fused block products -> K-sum -> bit-pack
+
+which is the device-speed numeric path with zero host work and zero
+host syncs.
+
+Values may change between calls as long as the STRUCTURE (bitmaps/keys)
+is unchanged: pass the updated operands to __call__.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..format.bmsparse import BmSparse
+from ..utils.timing import PhaseTimer
+from . import spgemm as sg
+
+
+class PreparedProduct:
+    """A structure-frozen C = A @ B with a device-only numeric path."""
+
+    def __init__(self, plan: "sg._ProductPlan", impl: str):
+        self.plan = plan
+        self.impl = impl
+        self.shape = (plan.a.num_rows, plan.b.num_cols)
+        self.num_c_blocks = plan.num_c_blocks
+        self.num_c_nnz = plan.num_c_nnz
+        # cache the slot operand indices per K-group (the only consumers
+        # of keys_tbl columns 6/7 / the sigma tables)
+        self._slots = []
+        from ..config import bucket_size
+
+        for kg, c0, c1 in plan.groups:
+            ch = c1 - c0
+            ch_pad = bucket_size(ch, minimum=1)
+            ta, tb = sg._gather_group_slots(
+                plan.keys_tbl, plan.starts_sig, plan.cnt_sig,
+                jnp.int32(c0), ch_pad, kg,
+                plan.a_flat.shape[0], plan.b_flat.shape[0],
+            )
+            idx = sg._sig_rows_for_group(
+                plan.ends_sig, jnp.int32(c0), jnp.int32(ch), ch_pad
+            )
+            self._slots.append((ta, tb, idx))
+        if self._slots:
+            idx_sig = (self._slots[0][2] if len(self._slots) == 1
+                       else jnp.concatenate([s[2] for s in self._slots]))
+            sig_tbl = jnp.take(
+                plan.keys_tbl, idx_sig, axis=0, mode="fill", fill_value=0
+            )
+            self._sig_hi = sig_tbl[:, 2].astype(jnp.uint32)
+            self._sig_lo = sig_tbl[:, 3].astype(jnp.uint32)
+            self._sig_off = sig_tbl[:, 4]
+
+    def __call__(self, a=None, b=None) -> BmSparse:
+        """Multiply with the cached structure.
+
+        a/b: optional operands with updated VALUES but identical structure
+        (same blocks/bitmaps); BmSparse or Prepared. Defaults to the
+        operands captured at prepare time.
+        """
+        from .plan import Prepared, as_matrix
+
+        p = self.plan
+        a_flat = p.a_flat
+        b_flat = p.b_flat
+        if a is not None:
+            a_flat = (a.dense_flat if isinstance(a, Prepared)
+                      else a.decompress_blocks_flat())
+            if a_flat.shape != p.a_flat.shape:
+                raise ValueError("operand A structure changed; re-prepare")
+        if b is not None:
+            b_flat = (b.dense_flat if isinstance(b, Prepared)
+                      else b.decompress_blocks_flat())
+            if b_flat.shape != p.b_flat.shape:
+                raise ValueError("operand B structure changed; re-prepare")
+
+        if not self._slots or p.num_c_blocks == 0:
+            return sg._assemble_c(
+                p, jnp.zeros((p.nnz_pad,), jnp.float32)
+            )
+        a_t = jnp.concatenate(
+            [a_flat.T, jnp.zeros((64, 1), a_flat.dtype)], axis=1)
+        b_t = jnp.concatenate(
+            [b_flat.T, jnp.zeros((64, 1), b_flat.dtype)], axis=1)
+        parts = [
+            sg._numeric_sell_group(a_t, b_t, ta, tb, self.impl)
+            for ta, tb, _ in self._slots
+        ]
+        c_rows = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        c_values = sg._compress_rows(
+            c_rows, self._sig_hi, self._sig_lo, self._sig_off, p.nnz_pad
+        )
+        return sg._assemble_c(p, c_values)
+
+
+def prepare_product(a, b, impl: str | None = None) -> PreparedProduct:
+    """Build the cached product plan for C = A @ B (see module docstring).
+
+    Operands may be BmSparse or Prepared; impl as in ops.spgemm.spgemm
+    ("sell" | "pallas"; the "xla" variant has no slot layout to cache).
+    """
+    from ..config import get_config
+    from .plan import Prepared, as_matrix
+
+    a_prep = a if isinstance(a, Prepared) else None
+    b_prep = b if isinstance(b, Prepared) else None
+    am, bm = as_matrix(a), as_matrix(b)
+    sg._check_operands(am, bm)
+    impl = impl or get_config().spgemm_impl
+    if impl == "auto":
+        impl = "sell"
+    if impl not in ("sell", "pallas"):
+        raise ValueError(
+            f"prepare_product supports impl 'sell'|'pallas', got {impl!r}"
+        )
+    timer = PhaseTimer(enabled=False)
+    plan = sg._plan_product(am, bm, a_prep, b_prep, timer, False)
+    return PreparedProduct(plan, impl)

@@ -193,9 +193,13 @@ def _build_tasks(
 
     # T5: single lexicographic sort replaces thrust::sort/bb_segsort; the
     # task product bitmaps ride along so T6 never regathers blocks.
-    ck_row, ck_col, a_idx, b_idx, ph, pl = jax.lax.sort(
-        (ck_row, ck_col, a_idx, b_idx,
-         ph.astype(jnp.int32), pl.astype(jnp.int32)),
+    # (ops/segsort.py is the public sort surface — the segmented variant
+    # is this same lex sort with the segment id as leading key.)
+    from .segsort import sort_by_key
+
+    ck_row, ck_col, a_idx, b_idx, ph, pl = sort_by_key(
+        ck_row, ck_col, a_idx, b_idx,
+        ph.astype(jnp.int32), pl.astype(jnp.int32),
         num_keys=2,
     )
     nz_total = jnp.sum(alive.astype(jnp.int32))
@@ -211,6 +215,8 @@ def _c_symbolic_scan(
     ph: jax.Array, pl: jax.Array,
     ck_row: jax.Array, ck_col: jax.Array,
     c_row_sentinel: int,
+    a_idx: jax.Array | None = None,
+    b_idx: jax.Array | None = None,
 ):
     """Task-space C structure via a segmented OR-scan — the host-path
     replacement for _c_symbolic's expand+segment-sum (measured ~5.3 ms vs
@@ -219,12 +225,13 @@ def _c_symbolic_scan(
 
     Everything stays in TASK space: the OR of each C block's product
     bitmaps and its exclusive value offset sit at the block's LAST task
-    position; the host (which pulls c_seg for the numeric planner anyway)
-    builds the end-position index that compacts them.
+    position; the device planner (_plan_sell_device) builds the
+    end-position index that compacts them.
 
-    Returns (c_seg, hi_scan, lo_scan, off_task, keys_tbl, nbc, nnzc) where
-    keys_tbl is the (nt, 8) int32 row table [ck_row, ck_col, hi, lo, off,
-    cnt, 0, 0] for row-granular gathers at end positions.
+    Returns (c_seg, keys_tbl, nbc, nnzc) where keys_tbl is the (nt, 8)
+    int32 row table [ck_row, ck_col, hi, lo, off, cnt, a_idx, b_idx] for
+    row-granular gathers: columns 0-5 are segment-level results valid at
+    end positions, columns 6-7 per-task operands used by the slot gather.
     """
     nt = ph.shape[0]
     alive = ck_row != c_row_sentinel
@@ -252,12 +259,14 @@ def _c_symbolic_scan(
     csum = jnp.cumsum(cnt)
     off_task = (csum - cnt).astype(jnp.int32)
     nnzc = csum[-1] if nt else jnp.int32(0)
+    zeros = jnp.zeros((nt,), jnp.int32)
     keys_tbl = jnp.stack(
         [
             ck_row, ck_col,
             hi.astype(jnp.int32), lo.astype(jnp.int32),
             off_task, cnt.astype(jnp.int32),
-            jnp.zeros((nt,), jnp.int32), jnp.zeros((nt,), jnp.int32),
+            zeros if a_idx is None else a_idx.astype(jnp.int32),
+            zeros if b_idx is None else b_idx.astype(jnp.int32),
         ],
         axis=1,
     )
@@ -344,52 +353,139 @@ def _bucket_k(k: int) -> int:
     return k
 
 
-def _plan_task_sell(c_seg_h, a_idx_h, b_idx_h, nbc: int, sent_a: int, sent_b: int):
-    """Host-side numeric plan: distribute sorted tasks into per-C-block
-    SELL slots. Returns (groups, order) where groups is a list of
-    (ta, tb) int32 arrays of shape (chunks_g, K_g, 128) and order is the
-    sigma permutation (position p in SELL space holds C block order[p])."""
-    import numpy as np
+_K_BUCKET_ARR = None  # lazily built jnp constant of _K_BUCKETS
 
-    counts = np.bincount(c_seg_h, minlength=nbc).astype(np.int64)
-    order = np.argsort(-counts, kind="stable")
-    pos = np.empty(nbc, np.int64)
-    pos[order] = np.arange(nbc)
-    nchunks = -(-nbc // 128)
-    counts_sorted = counts[order]
-    k_chunk = np.empty(nchunks, np.int64)
-    for c in range(nchunks):
-        k_chunk[c] = _bucket_k(
-            max(int(counts_sorted[c * 128 : (c + 1) * 128].max()), 1)
+
+@partial(jax.jit, static_argnames=("nbc_pad",))
+def _plan_sell_device(
+    c_seg: jax.Array, num_alive: jax.Array, nbc: jax.Array, nbc_pad: int
+):
+    """Device-side numeric plan (replaces the round-1 host-numpy planner,
+    which cost 815 ms against ~15 ms of device work on band256k).
+
+    Everything is sort/cumsum arithmetic — no per-task scatters:
+
+      1. each C block's LAST task position ("end") is extracted with one
+         2-array lax.sort (end-flagged tasks keyed by block ordinal sort
+         to the front) — sorts are cheap on TPU, scatters are not
+         (measured: 0.6 ms lex sort of 4x330k vs ~2 ms for a 300k-index
+         scatter on v5e);
+      2. per-block task counts/starts are differences of ends;
+      3. the SELL-sigma permutation is a second lax.sort by descending
+         count that CARRIES starts/ends, so no gather is ever needed;
+      4. per-chunk padded depths come from a free (nbc/128, 128) reshape.
+
+    The task->slot mapping is then *gather-formulated*: slot (chunk, k,
+    lane) of sigma block q reads task starts_sig[q] + k when k <
+    cnt_sig[q] (see _gather_group_slots) — one row-gather per slot instead
+    of one scatter per task.
+
+    nbc_pad must be a multiple of 128. Returns (starts_sig, ends_sig,
+    cnt_sig, k_chunk, ends_nat) with k_chunk already bucketed (0 = empty
+    chunk) and ends_nat the natural-order end positions (out-of-range for
+    padding blocks).
+    """
+    global _K_BUCKET_ARR
+    if _K_BUCKET_ARR is None:
+        _K_BUCKET_ARR = tuple(_K_BUCKETS)
+    nt = c_seg.shape[0]
+    t = jnp.arange(nt, dtype=jnp.int32)
+    alive = t < num_alive
+    is_end = alive & jnp.concatenate(
+        [c_seg[1:] != c_seg[:-1], jnp.ones((1,), bool)]
+    )
+    big = jnp.int32(2**30)
+    key = jnp.where(is_end, c_seg, big)
+    _, ends_all = jax.lax.sort((key, t), num_keys=1)
+    if nt >= nbc_pad:
+        ends = ends_all[:nbc_pad]
+    else:
+        ends = jnp.concatenate(
+            [ends_all, jnp.zeros((nbc_pad - nt,), jnp.int32)]
         )
-    starts = np.cumsum(counts) - counts
-    t = np.arange(len(c_seg_h))
-    rank = t - starts[c_seg_h]
-    p = pos[c_seg_h]
-    chunk = p // 128
-    lane = p % 128
+    b_iota = jnp.arange(nbc_pad, dtype=jnp.int32)
+    validb = b_iota < nbc
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1] + 1])
+    counts = jnp.where(validb, ends - starts + 1, 0)
 
-    boundaries = np.nonzero(np.diff(k_chunk))[0] + 1
-    group_starts = np.concatenate([[0], boundaries, [nchunks]])
-    groups = []
-    for gi in range(len(group_starts) - 1):
-        c0, c1 = int(group_starts[gi]), int(group_starts[gi + 1])
-        kg = int(k_chunk[c0])
-        sel = (chunk >= c0) & (chunk < c1)
-        ta = np.full((c1 - c0, kg, 128), sent_a, np.int32)
-        tb = np.full((c1 - c0, kg, 128), sent_b, np.int32)
-        ta[chunk[sel] - c0, rank[sel], lane[sel]] = a_idx_h[sel]
-        tb[chunk[sel] - c0, rank[sel], lane[sel]] = b_idx_h[sel]
-        groups.append((ta, tb))
-    return groups, order
+    negc, _, starts_sig, ends_sig = jax.lax.sort(
+        (-counts, b_iota, starts, ends), num_keys=1
+    )
+    cnt_sig = -negc
+    k_raw = jnp.max(cnt_sig.reshape(nbc_pad // 128, 128), axis=1)
+    buckets = jnp.asarray(_K_BUCKET_ARR, jnp.int32)
+    bi = jnp.searchsorted(buckets, k_raw)
+    k_chunk = jnp.where(
+        k_raw > 0,
+        jnp.take(buckets, jnp.clip(bi, 0, len(_K_BUCKETS) - 1)),
+        0,
+    ).astype(jnp.int32)
+    ends_nat = jnp.where(validb, ends, big)
+    return starts_sig, ends_sig, cnt_sig, k_chunk, ends_nat
+
+
+@partial(jax.jit, static_argnames=("ch_pad", "k"))
+def _gather_group_slots(
+    keys_tbl: jax.Array,
+    starts_sig: jax.Array, cnt_sig: jax.Array,
+    c0: jax.Array, ch_pad: int, k: int,
+    sent_a: int, sent_b: int,
+):
+    """Slot operand indices for one K-group as a row-gather.
+
+    Returns (ta, tb) of shape (ch_pad, k, 128): slot (c, k, lane) holds
+    the A/B block indices of sigma block (c0 + c)*128 + lane's k-th task
+    (sentinels past the block's count). keys_tbl columns 6/7 carry the
+    per-task a_idx/b_idx (see _c_symbolic_scan)."""
+    nt = keys_tbl.shape[0]
+    npad = ch_pad * 128
+    ssz = starts_sig.shape[0]
+    pad = jnp.zeros((npad,), jnp.int32)
+    st_ext = jnp.concatenate([starts_sig, pad])
+    cn_ext = jnp.concatenate([cnt_sig, pad])
+    base = jnp.clip(c0 * 128, 0, ssz)
+    st = jax.lax.dynamic_slice(st_ext, (base,), (npad,)).reshape(
+        ch_pad, 1, 128
+    )
+    cn = jax.lax.dynamic_slice(cn_ext, (base,), (npad,)).reshape(
+        ch_pad, 1, 128
+    )
+    k_iota = jnp.arange(k, dtype=jnp.int32)[None, :, None]
+    idx = jnp.where(k_iota < cn, st + k_iota, nt)
+    sent_row = jnp.asarray([[sent_a, sent_b]], jnp.int32)
+    tbl = jnp.concatenate([keys_tbl[:, 6:8], sent_row], axis=0)
+    rows = jnp.take(tbl, idx.reshape(-1), axis=0, mode="clip")
+    ta = rows[:, 0].reshape(ch_pad, k, 128)
+    tb = rows[:, 1].reshape(ch_pad, k, 128)
+    return ta, tb
+
+
+@partial(jax.jit, static_argnames=("ch_pad",))
+def _sig_rows_for_group(
+    ends_sig: jax.Array, c0: jax.Array, ch: jax.Array, ch_pad: int
+):
+    """Per-output-row compress indices for one K-group: row r (sigma
+    position c0*128 + r) reads keys_tbl at its block's end-task position;
+    padding rows (r >= ch*128) get an out-of-range index (-> zero fill)."""
+    npad = ch_pad * 128
+    ext = jnp.concatenate(
+        [ends_sig, jnp.full((npad,), 2**30, jnp.int32)]
+    )
+    base = jnp.clip(c0 * 128, 0, ends_sig.shape[0])
+    rows = jax.lax.dynamic_slice(ext, (base,), (npad,))
+    r_iota = jnp.arange(npad, dtype=jnp.int32)
+    return jnp.where(r_iota < ch * 128, rows, jnp.int32(2**30))
 
 
 @partial(jax.jit, static_argnames=("k",))
 def _numeric_sell_slab(a_t, b_t, ta, tb, k: int):
     """Products for (s, k, 128) task slots -> (s*128, 64) row-major tiles.
 
-    a_t/b_t: (64, nb+1) transposed dense tiles with a zero sentinel column;
-    slot layouts [i*8+j] for A, [j*8+m] for B (both row-major).
+    a_t/b_t: (64, nb+1) transposed dense tiles with a zero sentinel
+    column; slot layouts [i*8+j] for A, [j*8+m] for B (both row-major).
+    Operand tiles may be bf16 (the reference's half-input regime, ref
+    :51,1261-1262): products/accumulation are f32 (casts fuse into the
+    FMA chain).
     """
     s = ta.shape[0]
     ga = jnp.moveaxis(jnp.take(a_t, ta, axis=1), 0, 3)   # (s, k, 128, 64)
@@ -398,13 +494,20 @@ def _numeric_sell_slab(a_t, b_t, ta, tb, k: int):
     gb = jnp.moveaxis(gb, 2, 3).reshape(s, k, 8, 8, 128)  # [., ., j, m, lane]
     acc = jnp.zeros((s, k, 8, 8, 128), jnp.float32)
     for j in range(8):
-        acc = acc + ga[:, :, :, j, None, :] * gb[:, :, None, j, :, :]
+        acc = acc + (
+            ga[:, :, :, j, None, :].astype(jnp.float32)
+            * gb[:, :, None, j, :, :].astype(jnp.float32)
+        )
     csum = jnp.sum(acc, axis=1)                          # (s, 8, 8, 128)
     return jnp.transpose(csum, (0, 3, 1, 2)).reshape(s * 128, 64)
 
 
-def _numeric_sell_group(a_t, b_t, ta, tb) -> jax.Array:
+def _numeric_sell_group(a_t, b_t, ta, tb, impl: str = "sell") -> jax.Array:
     """One K-group, scanned in slabs to bound gather transients."""
+    if impl == "pallas":
+        from .pallas.spgemm_kernel import numeric_sell_pallas
+
+        return numeric_sell_pallas(a_t, b_t, ta, tb)
     ch, k, _ = ta.shape
     if ch <= _SELL_SLAB or ch * k * 128 <= _SELL_SLAB * 128 * 8:
         return _numeric_sell_slab(a_t, b_t, ta, tb, k)
@@ -424,6 +527,59 @@ def _numeric_sell_group(a_t, b_t, ta, tb) -> jax.Array:
 
     _, out = jax.lax.scan(step, 0, (ta, tb))
     return out.reshape(nsl * slab * 128, 64)[: ch * 128]
+
+
+def _contiguous_k_groups(kc) -> list:
+    """(K, c0, c1) triples over the non-increasing per-chunk depth array
+    (0-depth chunks are empty and dropped)."""
+    groups = []
+    c0 = 0
+    n = len(kc)
+    while c0 < n and kc[c0] > 0:
+        c1 = c0
+        while c1 < n and kc[c1] == kc[c0]:
+            c1 += 1
+        groups.append((int(kc[c0]), c0, c1))
+        c0 = c1
+    return groups
+
+
+def _numeric_sell_groups(
+    a_flat, b_flat, keys_tbl, starts_sig, cnt_sig, ends_sig,
+    groups: list, impl: str,
+):
+    """Run the task-SELL numeric phase over all K-groups.
+
+    Returns (c_rows, idx_sig) where c_rows[r] is the dense 64-slot tile of
+    the sigma-order C block at stacked row r and idx_sig[r] is its
+    end-task position in keys_tbl (out-of-range for padding rows).
+    """
+    sent_a = a_flat.shape[0]
+    sent_b = b_flat.shape[0]
+    # keep the operand dtype (bf16 tiles halve gather traffic; products
+    # accumulate f32 downstream)
+    a_t = jnp.concatenate(
+        [a_flat.T, jnp.zeros((64, 1), a_flat.dtype)], axis=1)
+    b_t = jnp.concatenate(
+        [b_flat.T, jnp.zeros((64, 1), b_flat.dtype)], axis=1)
+    parts = []
+    idx_rows = []
+    for kg, c0, c1 in groups:
+        ch = c1 - c0
+        ch_pad = bucket_size(ch, minimum=1)
+        ta, tb = _gather_group_slots(
+            keys_tbl, starts_sig, cnt_sig,
+            jnp.int32(c0), ch_pad, kg, sent_a, sent_b,
+        )
+        parts.append(_numeric_sell_group(a_t, b_t, ta, tb, impl))
+        idx_rows.append(
+            _sig_rows_for_group(ends_sig, jnp.int32(c0), jnp.int32(ch),
+                                ch_pad)
+        )
+    c_rows = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    idx_sig = (idx_rows[0] if len(idx_rows) == 1
+               else jnp.concatenate(idx_rows))
+    return c_rows, idx_sig
 
 
 @partial(jax.jit, static_argnames=("num_c_nnz",))
@@ -489,12 +645,19 @@ def _compress_core(c_rows, hi, lo, off, num_c_nnz: int) -> jax.Array:
 
     t_rows = -(-num_c_nnz // 64) if num_c_nnz else 1
     b_row = (off // 64).astype(jnp.int32)
-    out = (
-        jnp.zeros((t_rows + 1, 64), jnp.float32)
-        .at[b_row].add(v0, mode="drop")
-        .at[b_row + 1].add(v1, mode="drop")
+    # ONE 128-wide row scatter-add instead of two 64-wide ones (TPU row
+    # scatters cost per row, not per byte — measured ~0.08 Grow/s): lanes
+    # [0,64) of scattered row r land in output row r, lanes [64,128) in
+    # row r+1; a shifted fold after the scatter splits them.
+    w = jnp.concatenate([v0, v1], axis=1)                # (R, 128)
+    out128 = jnp.zeros((t_rows + 1, 128), jnp.float32).at[b_row].add(
+        w, mode="drop"
     )
-    return out[:t_rows].reshape(-1)[:num_c_nnz]
+    carry = jnp.concatenate(
+        [jnp.zeros((1, 64), jnp.float32), out128[: t_rows - 1, 64:]]
+    ) if t_rows > 1 else jnp.zeros((t_rows, 64), jnp.float32)
+    out = out128[:t_rows, :64] + carry
+    return out.reshape(-1)[:num_c_nnz]
 
 
 # ---------------------------------------------------------------------------
@@ -504,7 +667,6 @@ def _numeric_xla(
     a_flat: jax.Array, b_flat: jax.Array,
     a_idx: jax.Array, b_idx: jax.Array, c_seg: jax.Array,
     num_c_blocks: int,
-    a_span: int = 0, b_span: int = 0,
 ):
     """Chunked batched 8x8 block products accumulated per C block.
 
@@ -535,10 +697,8 @@ def _numeric_xla(
 
     def step(acc, operands):
         ai, bi, cs = operands
-        # Tasks are sorted by C key, so chunk index spans are bounded for
-        # clustered matrices -> MXU one-hot gather instead of row gathers.
-        blk_a = gather_rows(a_flat, ai, a_span)             # (chunk, 64)
-        blk_b = gather_rows(b_flat, bi, b_span)             # (chunk, 64)
+        blk_a = gather_rows(a_flat, ai)                     # (chunk, 64)
+        blk_b = gather_rows(b_flat, bi)                     # (chunk, 64)
         contrib = block_matmul_flat(blk_a, blk_b, b_transposed=False)
         acc = acc + jax.ops.segment_sum(
             contrib, cs, num_segments=num_c_blocks
@@ -555,26 +715,19 @@ def _numeric_xla(
 
 @partial(
     jax.jit,
-    static_argnames=("num_c_blocks", "num_c_nnz", "impl", "a_span", "b_span"),
+    static_argnames=("num_c_blocks", "num_c_nnz", "impl"),
 )
 def _numeric_and_compress(
     a_flat: jax.Array, b_flat: jax.Array,
     a_idx: jax.Array, b_idx: jax.Array, c_seg: jax.Array,
     c_hi: jax.Array, c_lo: jax.Array, c_offsets: jax.Array,
     num_c_blocks: int, num_c_nnz: int, impl: str,
-    a_span: int = 0, b_span: int = 0,
 ):
-    if impl == "pallas":
-        from .pallas.spgemm_kernel import numeric_pallas
-
-        c_dense = numeric_pallas(
-            a_flat, b_flat, a_idx, b_idx, c_seg, num_c_blocks
-        )
-    else:
-        c_dense = _numeric_xla(
-            a_flat, b_flat, a_idx, b_idx, c_seg, num_c_blocks,
-            a_span, b_span,
-        )
+    if impl not in ("xla", "sell", "pallas"):
+        raise ValueError(f"unknown padded-path impl {impl!r}")
+    c_dense = _numeric_xla(
+        a_flat, b_flat, a_idx, b_idx, c_seg, num_c_blocks
+    )
 
     # Compress through C's structural bitmap (row-major / untransposed):
     # value slot of address a is offsets + prefix-popcount (the inverse of
@@ -593,6 +746,104 @@ def _numeric_and_compress(
 
 
 # ---------------------------------------------------------------------------
+# Shared orchestration: symbolic phases + device numeric plan
+# ---------------------------------------------------------------------------
+class _ProductPlan:
+    """Everything structure-dependent about one C = A @ B product:
+    symbolic results (keys_tbl), the device numeric plan (sigma tables +
+    K-groups), and the assembled container metadata. Value-independent —
+    ops.product.PreparedProduct caches one of these per structure."""
+
+    __slots__ = (
+        "a", "b", "a_flat", "b_flat", "keys_tbl",
+        "starts_sig", "cnt_sig", "ends_sig", "groups",
+        "num_tasks", "num_alive", "num_c_blocks", "num_c_nnz",
+        "nbc_pad", "nnz_pad", "a_idx", "b_idx", "c_seg",
+        "cbrow", "cbcol", "c_off", "nat_tbl",
+    )
+
+
+def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
+    """Run T1-T6 + the device numeric plan; host syncs exactly at the
+    reference's D->H points (ref: src/bmSparse_SPGEMM.cu:1095,1106) plus
+    one small k_chunk pull that fixes the static group shapes."""
+    import numpy as np
+
+    from ..config import round_up
+
+    p = _ProductPlan()
+    p.a, p.b = a, b
+    nbr_b = b.block_rows
+    with timer.phase("T_1"):
+        cnt, offs, b_row_start, total = _task_counts(a, b, nbr_b)
+        p.num_tasks = int(total)  # host sync (ref analogue :1095)
+    sentinel = a.block_rows + 1
+
+    t_pad = bucket_size(max(p.num_tasks, 1))
+    with timer.phase("T_3"):
+        a_idx, b_idx, ck_row, ck_col, t_ph, t_pl, nz_total = _build_tasks(
+            a, b, offs, b_row_start, total, t_pad, sentinel
+        )
+        p.num_alive = int(nz_total)  # host sync
+    if verbose:
+        print(f"Task list size: {p.num_tasks}")
+        print(f"Bmp reduction: {p.num_tasks - p.num_alive}")
+
+    t2 = max(bucket_size(max(p.num_alive, 1)), 1)
+    if t2 < t_pad:  # drop pruned tail (they sorted last)
+        a_idx, b_idx, ck_row, ck_col, t_ph, t_pl = (
+            x[:t2] for x in (a_idx, b_idx, ck_row, ck_col, t_ph, t_pl)
+        )
+
+    with timer.phase("T_6"):
+        c_seg, keys_tbl, nbc, nnzc = _c_symbolic_scan(
+            t_ph, t_pl, ck_row, ck_col, sentinel, a_idx, b_idx
+        )
+        p.num_c_blocks = int(nbc)   # host sync (ref :1095)
+        p.num_c_nnz = int(nnzc)     # host sync (ref :1106)
+    p.a_idx, p.b_idx, p.c_seg, p.keys_tbl = a_idx, b_idx, c_seg, keys_tbl
+
+    p.nbc_pad = round_up(
+        max(bucket_size(max(p.num_c_blocks, 1)), 128), 128
+    )
+    p.nnz_pad = max(bucket_size(max(p.num_c_nnz, 1)), 1)
+
+    # Decompress once (amortized if operands came in Prepared).
+    p.a_flat = (a_prep.dense_flat if a_prep is not None
+                else a.decompress_blocks_flat())
+    p.b_flat = (b_prep.dense_flat if b_prep is not None
+                else b.decompress_blocks_flat())
+
+    with timer.phase("T_9"):
+        starts_sig, ends_sig, cnt_sig, k_chunk_d, ends_nat = (
+            _plan_sell_device(
+                c_seg, jnp.int32(p.num_alive), jnp.int32(p.num_c_blocks),
+                p.nbc_pad,
+            )
+        )
+        # one small host sync (per-chunk padded depths) fixes the static
+        # group shapes — the analogue of the reference's scalar D->H pulls
+        kc = np.asarray(k_chunk_d)
+        p.starts_sig, p.cnt_sig, p.ends_sig = starts_sig, cnt_sig, ends_sig
+        p.groups = _contiguous_k_groups(kc)
+
+    # natural-order container fields: one row-gather of the task-space
+    # table at the end positions (all on device)
+    nat_tbl = jnp.take(
+        keys_tbl, ends_nat, axis=0, mode="fill", fill_value=0,
+    )                                                   # (nbc_pad, 8)
+    b_iota = jnp.arange(p.nbc_pad, dtype=jnp.int32)
+    valid_b = b_iota < p.num_c_blocks
+    p.nat_tbl = nat_tbl
+    p.cbrow = jnp.where(valid_b, nat_tbl[:, 0], jnp.int32(a.block_rows))
+    p.cbcol = jnp.where(valid_b, nat_tbl[:, 1], 0)
+    p.c_off = jnp.where(
+        valid_b, nat_tbl[:, 4], jnp.int32(max(p.num_c_nnz - 1, 0))
+    )
+    return p
+
+
+# ---------------------------------------------------------------------------
 # Public entry points
 # ---------------------------------------------------------------------------
 def spgemm(
@@ -606,7 +857,17 @@ def spgemm(
     Mirrors the reference driver defaults: A untransposed, B in transposed
     intra-block layout (ref: src/bmSparse_SPGEMM.cu:1261-1262), fp32 output.
     Operands may be BmSparse or Prepared (ops.plan.prepare) — pass Prepared
-    when reusing a matrix across calls to amortize decompression.
+    when reusing a matrix across calls to amortize decompression. For
+    iterated products with fixed structure use ops.product.prepare_product.
+
+    impl selects the numeric kernel (the analogue of the reference's
+    tc_version switch, ref :1132-1155; every variant computes identical
+    results):
+      * "sell" (default/auto) — task-SELL slot layout, XLA-fused VPU FMAs.
+      * "pallas" — task-SELL with the hand-scheduled Pallas kernel
+        (ops/pallas/spgemm_kernel.py) for the product+reduce stage.
+      * "xla" — chunked gather + segment-sum (the jit-safe formulation the
+        shard_map path uses; slower, kept honest and selectable).
     """
     from .plan import Prepared, as_matrix
 
@@ -615,121 +876,64 @@ def spgemm(
     a, b = as_matrix(a), as_matrix(b)
     _check_operands(a, b)
     cfg = get_config()
-    impl = impl or (cfg.spgemm_impl if cfg.spgemm_impl != "auto" else "xla")
+    impl = impl or cfg.spgemm_impl
     verbose = cfg.verbose if verbose is None else verbose
+    if impl not in ("xla", "sell", "pallas", "auto"):
+        raise ValueError(f"unknown SpGEMM impl {impl!r}")
+    if impl == "auto":
+        impl = "sell"
     timer = PhaseTimer(enabled=verbose)
 
-    nbr_b = b.block_rows
-    with timer.phase("T_1"):
-        cnt, offs, b_row_start, total = _task_counts(a, b, nbr_b)
-        num_tasks = int(total)  # host sync (ref analogue :1095)
-    sentinel = a.block_rows + 1
+    p = _plan_product(a, b, a_prep, b_prep, timer, verbose)
 
-    t_pad = bucket_size(max(num_tasks, 1))
-    with timer.phase("T_3"):
-        a_idx, b_idx, ck_row, ck_col, t_ph, t_pl, nz_total = _build_tasks(
-            a, b, offs, b_row_start, total, t_pad, sentinel
-        )
-        num_alive = int(nz_total)  # host sync
-    if verbose:
-        print(f"Task list size: {num_tasks}")
-        print(f"Bmp reduction: {num_tasks - num_alive}")
-
-    t2 = max(bucket_size(max(num_alive, 1)), 1)
-    if t2 < t_pad:  # drop pruned tail (they sorted last)
-        a_idx, b_idx, ck_row, ck_col, t_ph, t_pl = (
-            x[:t2] for x in (a_idx, b_idx, ck_row, ck_col, t_ph, t_pl)
-        )
-
-    with timer.phase("T_6"):
-        c_seg, keys_tbl, nbc, nnzc = _c_symbolic_scan(
-            t_ph, t_pl, ck_row, ck_col, sentinel
-        )
-        num_c_blocks = int(nbc)   # host sync (ref :1095)
-        num_c_nnz = int(nnzc)     # host sync (ref :1106)
-
-    nbc_pad = min(bucket_size(max(num_c_blocks, 1)), c_seg.shape[0])
-    nbc_pad = max(nbc_pad, num_c_blocks, 1)
-    nnz_pad = max(bucket_size(max(num_c_nnz, 1)), 1)
-
-    # Decompress once (amortized if operands came in Prepared).
-    a_flat = (a_prep.dense_flat if a_prep is not None
-              else a.decompress_blocks_flat())
-    b_flat = (b_prep.dense_flat if b_prep is not None
-              else b.decompress_blocks_flat())
-
-    if impl not in ("xla", "sell", "auto"):
-        raise ValueError(f"unknown SpGEMM impl {impl!r}")
-
-    import numpy as np
-
-    with timer.phase("T_9"):
-        # host numeric plan: the pulled c_seg also yields each C block's
-        # LAST task position, where the task-space symbolic results live
-        c_seg_h = np.asarray(c_seg[:num_alive])
-        a_idx_h = np.asarray(a_idx[:num_alive])
-        b_idx_h = np.asarray(b_idx[:num_alive])
-        counts_h = np.bincount(
-            c_seg_h, minlength=max(num_c_blocks, 1)
-        )[: max(num_c_blocks, 1)]
-        end_pos = (np.cumsum(counts_h) - 1).astype(np.int64)
-
-        if num_c_blocks > 0:
-            groups, order = _plan_task_sell(
-                c_seg_h, a_idx_h, b_idx_h, num_c_blocks,
-                a_flat.shape[0], b_flat.shape[0],
-            )
-            a_t = jnp.concatenate(
-                [a_flat.astype(jnp.float32).T,
-                 jnp.zeros((64, 1), jnp.float32)], axis=1)
-            b_t = jnp.concatenate(
-                [b_flat.astype(jnp.float32).T,
-                 jnp.zeros((64, 1), jnp.float32)], axis=1)
-            parts = [
-                _numeric_sell_group(a_t, b_t, jnp.asarray(ta), jnp.asarray(tb))
-                for ta, tb in groups
-            ]
-            c_rows = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-            # sigma-ordered end positions; out-of-range -> zero-bitmap fill
-            idx_sig = np.full((c_rows.shape[0],), 2**30, np.int64)
-            idx_sig[: len(order)] = end_pos[order]
-            sig_tbl = jnp.take(
-                keys_tbl, jnp.asarray(idx_sig.astype(np.int32)), axis=0,
-                mode="fill", fill_value=0,
-            )                                           # (R, 8)
-            c_values = _compress_rows(
-                c_rows,
-                sig_tbl[:, 2].astype(jnp.uint32),
-                sig_tbl[:, 3].astype(jnp.uint32),
-                sig_tbl[:, 4], nnz_pad,
-            )
-        else:
-            c_values = jnp.zeros((nnz_pad,), jnp.float32)
-
-    # result container fields: one row-gather of the task-space table at
-    # the natural-order end positions
-    end_nat = np.full((nbc_pad,), 2**30, np.int64)
-    end_nat[:num_c_blocks] = end_pos[:num_c_blocks]
-    nat_tbl = jnp.take(
-        keys_tbl, jnp.asarray(end_nat.astype(np.int32)), axis=0,
-        mode="fill", fill_value=0,
-    )                                                   # (nbc_pad, 8)
-    b_iota = jnp.arange(nbc_pad, dtype=jnp.int32)
-    valid_b = b_iota < num_c_blocks
-    cbrow = jnp.where(valid_b, nat_tbl[:, 0], jnp.int32(a.block_rows))
-    cbcol = jnp.where(valid_b, nat_tbl[:, 1], 0)
-    c_off = jnp.where(
-        valid_b, nat_tbl[:, 4], jnp.int32(max(num_c_nnz - 1, 0))
-    )
+    with timer.phase("T_9b"):
+        c_values = _numeric_from_plan(p, impl)
     timer.report()
 
+    return _assemble_c(p, c_values)
+
+
+def _numeric_from_plan(p: _ProductPlan, impl: str) -> jax.Array:
+    """Numeric phase + bit-order compress, given a structure plan."""
+    if impl == "xla":
+        # chunked segment-sum numeric (the jit-safe variant the
+        # shard_map path uses)
+        return _numeric_and_compress(
+            p.a_flat, p.b_flat,
+            p.a_idx[: p.num_alive], p.b_idx[: p.num_alive],
+            p.c_seg[: p.num_alive],
+            p.nat_tbl[:, 2].astype(jnp.uint32),
+            p.nat_tbl[:, 3].astype(jnp.uint32), p.c_off,
+            p.nbc_pad, p.nnz_pad, "xla",
+        )
+    if p.groups and p.num_c_blocks > 0:
+        c_rows, idx_sig_d = _numeric_sell_groups(
+            p.a_flat, p.b_flat, p.keys_tbl,
+            p.starts_sig, p.cnt_sig, p.ends_sig,
+            p.groups, impl,
+        )
+        sig_tbl = jnp.take(
+            p.keys_tbl, idx_sig_d, axis=0, mode="fill", fill_value=0,
+        )                                           # (R, 8)
+        return _compress_rows(
+            c_rows,
+            sig_tbl[:, 2].astype(jnp.uint32),
+            sig_tbl[:, 3].astype(jnp.uint32),
+            sig_tbl[:, 4], p.nnz_pad,
+        )
+    return jnp.zeros((p.nnz_pad,), jnp.float32)
+
+
+def _assemble_c(p: _ProductPlan, c_values: jax.Array) -> BmSparse:
+    b_iota = jnp.arange(p.nbc_pad, dtype=jnp.int32)
+    valid_b = b_iota < p.num_c_blocks
     return BmSparse(
-        brow=cbrow, bcol=cbcol,
-        bmp_hi=jnp.where(valid_b, nat_tbl[:, 2], 0).astype(jnp.uint32),
-        bmp_lo=jnp.where(valid_b, nat_tbl[:, 3], 0).astype(jnp.uint32),
-        offsets=c_off, values=c_values,
-        nb=jnp.int32(num_c_blocks),
-        num_rows=a.num_rows, num_cols=b.num_cols, nnz=num_c_nnz,
+        brow=p.cbrow, bcol=p.cbcol,
+        bmp_hi=jnp.where(valid_b, p.nat_tbl[:, 2], 0).astype(jnp.uint32),
+        bmp_lo=jnp.where(valid_b, p.nat_tbl[:, 3], 0).astype(jnp.uint32),
+        offsets=p.c_off, values=c_values,
+        nb=jnp.int32(p.num_c_blocks),
+        num_rows=p.a.num_rows, num_cols=p.b.num_cols, nnz=p.num_c_nnz,
         transposed=False,
     )
 

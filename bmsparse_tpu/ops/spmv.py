@@ -152,6 +152,7 @@ def dia_apply(
     n: int,
     dia_impl: str = "xla",
     col_shift=None,
+    max_shift_rows: int = 0,
 ):
     """DIA-tier contribution: u2 (r_rows, 128) natural layout.
 
@@ -165,13 +166,20 @@ def dia_apply(
     where each shard's rows are local but v (and the diagonal offsets,
     which are global statics shared by every shard) live in global
     coordinates.
+
+    max_shift_rows: static upper bound on col_shift // 128. The padded
+    vector must cover the sliding window of EVERY shard; for tall matrices
+    (num_rows >> num_cols) a late shard's base exceeds n and
+    dynamic_slice would silently clamp, misreading that shard's
+    diagonals — so the slice source is sized by this bound, not by n.
     """
     cdt = jnp.promote_types(dia.dtype, jnp.float32)
     r_rows = dia.shape[1]
     offs = offsets
     lead_rows = -(-(max(abs(o) for o in offs) // 128 + 1) // 8) * 8
     span = (
-        cdiv(n, 128) + r_rows if col_shift is not None
+        max(cdiv(n, 128), max_shift_rows) + r_rows
+        if col_shift is not None
         else max(cdiv(n, 128), r_rows)
     )
     length = (lead_rows + span + lead_rows) * 128
@@ -256,6 +264,13 @@ def spmv(m, v: jax.Array, impl: str | None = None) -> jax.Array:
         raw-container path decompresses via XLA gathers every call).
       v: dense vector of length m.num_cols.
       impl: "xla" | "pallas" | None (config default / auto).
+
+    Routing: a Prepared operand runs the tiered plan (Pallas DIA kernel on
+    TPU under auto — measured 1.3x over the XLA roll formulation). A raw
+    BmSparse under auto runs the jit-safe _spmv_xla — it must NOT silently
+    call prepare(), which is a host-side numpy plan build that breaks
+    under jit tracing and would rerun on every invocation; passing
+    impl="pallas" explicitly requests the one-time prepare().
     """
     from .plan import Prepared
 
@@ -264,19 +279,17 @@ def spmv(m, v: jax.Array, impl: str | None = None) -> jax.Array:
     if v.shape[0] != m.num_cols:
         raise ValueError(f"v has length {v.shape[0]}, expected {m.num_cols}")
     impl = impl or get_config().spmv_impl
-    if impl == "auto":
-        # the Pallas DIA kernel wins on TPU (measured 1.3x over the XLA
-        # roll formulation); on CPU it would run interpreted
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown SpMV impl {impl!r}")
     if isinstance(m, Prepared):
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         return _spmv_prepared(m, v, dia_impl=impl)
-    if impl == "xla":
-        return _spmv_xla(m, v)
     if impl == "pallas":
         from .plan import prepare
 
         return _spmv_prepared(prepare(m), v, dia_impl="pallas")
-    raise ValueError(f"unknown SpMV impl {impl!r}")
+    return _spmv_xla(m, v)
 
 
 # ---------------------------------------------------------------------------

@@ -39,6 +39,8 @@ class ShardedBmSparse:
 
     num_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_cols: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # true global nnz; -1 = unknown (padded op results, e.g. sharded
+    # SpGEMM output — to_bmsparse() recomputes the exact count)
     nnz: int = dataclasses.field(metadata=dict(static=True), default=0)
     transposed: bool = dataclasses.field(metadata=dict(static=True), default=False)
     # block rows owned per shard (uniform ranges)

@@ -126,7 +126,10 @@ def sharded_spgemm(
         brow=brow, bcol=bcol, bmp_hi=hi, bmp_lo=lo,
         offsets=off, values=val, nb=nb,
         num_rows=sa.num_rows, num_cols=sb.num_cols,
-        nnz=int(val.shape[0] * val.shape[1]),
+        # C's true nnz is data-dependent and lives on device; -1 marks it
+        # unknown (everywhere else .nnz is a true count — to_bmsparse()
+        # recomputes the exact value from the bitmaps)
+        nnz=-1,
         transposed=False, rows_per_shard=sa.rows_per_shard,
     )
 

@@ -81,6 +81,7 @@ def sharded_spmv(sm: ShardedBmSparse, v: jax.Array, mesh: Mesh) -> jax.Array:
 def _local_spmv_prepared(
     dia, out_gather, v_local, *sell_arrays,
     dia_offsets, sell_ks, rows_per_shard, num_cols, v_len, dia_impl,
+    num_shards,
 ):
     """Per-shard tiered SpMV body (the fast path): all-gather v, run the
     DIA tier with the shard base as a traced column shift, the SELL tier
@@ -99,6 +100,9 @@ def _local_spmv_prepared(
         u2 = dia_apply(
             dia[0], dia_offsets, vpad, n, dia_impl=dia_impl,
             col_shift=s * npad_loc,
+            # tall matrices: late shards' bases exceed n; size the slice
+            # source for the largest base so dynamic_slice never clamps
+            max_shift_rows=((num_shards - 1) * npad_loc) // 128,
         )
         u = u + u2.reshape(-1)[:npad_loc]
     if sell_ks:
@@ -149,6 +153,7 @@ def sharded_spmv_prepared(
             num_cols=sm.num_cols,
             v_len=v_len,
             dia_impl=dia_impl,
+            num_shards=d,
         ),
         mesh=mesh,
         in_specs=specs,

@@ -224,3 +224,30 @@ def test_host_converter_matches_device():
         np.testing.assert_allclose(
             np.asarray(a.values)[: a.nnz], np.asarray(b.values)[: b.nnz]
         )
+
+
+def test_host_converter_duplicate_coordinates_summed():
+    """Duplicate (row, col) triplets must be summed (scipy/cusp COO
+    assembly semantics), not corrupt bitmap/value alignment."""
+    from bmsparse_tpu import coo_to_bmsparse
+
+    r = np.array([0, 0, 5, 5, 3], np.int32)
+    c = np.array([1, 1, 3, 3, 2], np.int32)
+    v = np.array([1.0, 2.0, 3.0, 4.0, 5.0], np.float32)
+    m = coo_to_bmsparse(r, c, v, (8, 8), backend="host")
+    dense = m.to_scipy().toarray()
+    assert dense[0, 1] == 3.0 and dense[5, 3] == 7.0 and dense[3, 2] == 5.0
+    assert m.nnz == 3
+
+
+def test_host_converter_empty_matches_device_convention():
+    """Empty input yields the one-padding-block container, like the
+    device path's n == 0 special case."""
+    from bmsparse_tpu import coo_to_bmsparse
+
+    z = np.zeros((0,), np.int32)
+    m = coo_to_bmsparse(z, z, np.zeros((0,), np.float32), (16, 16),
+                        backend="host")
+    assert int(m.nb) == 0
+    assert m.brow.shape[0] == 1 and int(m.brow[0]) == m.block_rows
+    assert int(m.bmp_hi[0]) == 0 and int(m.bmp_lo[0]) == 0

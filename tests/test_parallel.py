@@ -120,3 +120,29 @@ def test_sharded_prepared_spmv():
     )
     ref = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)) @ v
     np.testing.assert_allclose(u, ref, rtol=1e-4, atol=1e-5)
+
+
+@needs_8
+def test_sharded_prepared_spmv_tall_matrix():
+    """Tall matrices (num_rows >> num_cols): late shards' column-shift
+    bases exceed num_cols; the DIA slice source must cover them
+    (regression for a dynamic_slice clamp that misaligned those shards)."""
+    from bmsparse_tpu.parallel.plan import prepare_sharded
+    from bmsparse_tpu.parallel.spmv import sharded_spmv_prepared
+
+    n_rows, n_cols = 2048, 256
+    r = np.arange(n_rows, dtype=np.int64)
+    c = r % n_cols  # per-shard diagonals at strongly negative offsets
+    vals = np.random.default_rng(7).standard_normal(n_rows).astype(np.float32)
+    m = coo_to_bmsparse(
+        r.astype(np.int32), c.astype(np.int32), vals, (n_rows, n_cols)
+    )
+    mesh = make_mesh(8)
+    sm = partition(m, 8, align=16)
+    spp = prepare_sharded(sm)
+    assert spp.dia_offsets, "tall-diagonal structure should take the DIA tier"
+    v = np.random.default_rng(8).standard_normal(n_cols).astype(np.float32)
+    u = np.asarray(sharded_spmv_prepared(spp, jnp.asarray(v), mesh,
+                                         dia_impl="xla"))
+    ref = sp.csr_matrix((vals, (r, c)), shape=(n_rows, n_cols)) @ v
+    np.testing.assert_allclose(u, ref, rtol=1e-5, atol=1e-5)

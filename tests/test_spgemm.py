@@ -177,3 +177,49 @@ def test_spgemm_result_feeds_spmv_and_spgemm():
     # C @ B again (A^3)
     c2 = spgemm(c, bt)
     assert c2.compare((ref @ ref @ ref).tocoo()) < 1e-4
+
+
+@pytest.mark.parametrize("impl", ["sell", "pallas", "xla"])
+def test_spgemm_impl_variants(impl):
+    """Every numeric impl (the tc_version analogue) computes the same C
+    (ref dispatch: src/bmSparse_SPGEMM.cu:1132-1155)."""
+    a, a_ref = _make((160, 160), 0.05, seed=31)
+    b, b_ref = _make((160, 160), 0.05, seed=32, transposed=True)
+    c = spgemm(a, b, impl=impl)
+    assert c.compare((a_ref @ b_ref).tocoo()) < 1e-5
+
+
+def test_spgemm_impl_rejects_unknown():
+    a, _ = _make((24, 24), 0.1, seed=33)
+    b, _ = _make((24, 24), 0.1, seed=34, transposed=True)
+    with pytest.raises(ValueError):
+        spgemm(a, b, impl="wmma")
+
+
+def test_prepare_product_cached_multiply():
+    """prepare_product: one-time plan, device-only numeric per call;
+    matches spgemm() and tracks operand VALUE updates."""
+    from bmsparse_tpu.ops.product import prepare_product
+
+    rows, cols, vals = random_coo(128, 128, density=0.05, seed=41)
+    a = coo_to_bmsparse(rows, cols, vals, (128, 128))
+    bt = coo_to_bmsparse(rows, cols, vals, (128, 128), transposed=True)
+    pp = prepare_product(a, bt)
+    c = pp()
+    ref = sp.csr_matrix((vals.astype(np.float64), (rows, cols)),
+                        shape=(128, 128))
+    assert c.compare((ref @ ref).tocoo()) < 1e-5
+    assert pp.num_c_nnz == c.nnz
+
+    # same structure, new values
+    vals2 = (vals * 2.0).astype(np.float32)
+    a2 = coo_to_bmsparse(rows, cols, vals2, (128, 128))
+    c2 = pp(a=a2)
+    ref2 = sp.csr_matrix((vals2.astype(np.float64), (rows, cols)),
+                         shape=(128, 128))
+    assert c2.compare((ref2 @ ref).tocoo()) < 1e-5
+
+    # A^3 chain through the cache: structure of (A @ B) differs -> the
+    # cached plan only serves the original structure
+    with pytest.raises(ValueError):
+        pp(a=coo_to_bmsparse(rows[:4], cols[:4], vals[:4], (128, 128)))
