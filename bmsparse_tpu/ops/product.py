@@ -22,11 +22,34 @@ is unchanged: pass the updated operands to __call__.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from ..format.bmsparse import BmSparse
 from ..utils.timing import PhaseTimer
 from . import spgemm as sg
+
+
+@partial(jax.jit, static_argnames=("impl", "nnz_pad"))
+def _cached_numeric(
+    a_flat, b_flat, sig_hi, sig_lo, sig_off, *tabs,
+    impl: str, nnz_pad: int,
+):
+    """One-dispatch numeric for a cached product: operand-table build,
+    slot gathers, fused products, K-sums, bit-order compress."""
+    a_t = jnp.concatenate(
+        [a_flat.T, jnp.zeros((64, 1), a_flat.dtype)], axis=1)
+    b_t = jnp.concatenate(
+        [b_flat.T, jnp.zeros((64, 1), b_flat.dtype)], axis=1)
+    n = len(tabs) // 2
+    parts = [
+        sg._numeric_sell_group(a_t, b_t, tabs[i], tabs[n + i], impl)
+        for i in range(n)
+    ]
+    c_rows = parts[0] if n == 1 else jnp.concatenate(parts)
+    return sg._compress_rows(c_rows, sig_hi, sig_lo, sig_off, nnz_pad)
 
 
 class PreparedProduct:
@@ -92,17 +115,10 @@ class PreparedProduct:
             return sg._assemble_c(
                 p, jnp.zeros((p.nnz_pad,), jnp.float32)
             )
-        a_t = jnp.concatenate(
-            [a_flat.T, jnp.zeros((64, 1), a_flat.dtype)], axis=1)
-        b_t = jnp.concatenate(
-            [b_flat.T, jnp.zeros((64, 1), b_flat.dtype)], axis=1)
-        parts = [
-            sg._numeric_sell_group(a_t, b_t, ta, tb, self.impl)
-            for ta, tb, _ in self._slots
-        ]
-        c_rows = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-        c_values = sg._compress_rows(
-            c_rows, self._sig_hi, self._sig_lo, self._sig_off, p.nnz_pad
+        c_values = _cached_numeric(
+            a_flat, b_flat, self._sig_hi, self._sig_lo, self._sig_off,
+            *[s[0] for s in self._slots], *[s[1] for s in self._slots],
+            impl=self.impl, nnz_pad=p.nnz_pad,
         )
         return sg._assemble_c(p, c_values)
 

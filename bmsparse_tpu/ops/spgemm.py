@@ -893,6 +893,30 @@ def spgemm(
     return _assemble_c(p, c_values)
 
 
+@partial(jax.jit, static_argnames=("groups", "impl", "nnz_pad"))
+def _numeric_stage(
+    a_flat, b_flat, keys_tbl, starts_sig, cnt_sig, ends_sig,
+    groups: tuple, impl: str, nnz_pad: int,
+):
+    """The ENTIRE numeric phase (slot gathers, products, K-sums, compress)
+    as one jitted program — one dispatch per multiply (each eager op costs
+    a full tunnel round trip on the axon runtime; the unjitted round-1
+    formulation burned ~30-55 ms per op on them)."""
+    c_rows, idx_sig_d = _numeric_sell_groups(
+        a_flat, b_flat, keys_tbl, starts_sig, cnt_sig, ends_sig,
+        list(groups), impl,
+    )
+    sig_tbl = jnp.take(
+        keys_tbl, idx_sig_d, axis=0, mode="fill", fill_value=0,
+    )                                               # (R, 8)
+    return _compress_rows(
+        c_rows,
+        sig_tbl[:, 2].astype(jnp.uint32),
+        sig_tbl[:, 3].astype(jnp.uint32),
+        sig_tbl[:, 4], nnz_pad,
+    )
+
+
 def _numeric_from_plan(p: _ProductPlan, impl: str) -> jax.Array:
     """Numeric phase + bit-order compress, given a structure plan."""
     if impl == "xla":
@@ -907,19 +931,10 @@ def _numeric_from_plan(p: _ProductPlan, impl: str) -> jax.Array:
             p.nbc_pad, p.nnz_pad, "xla",
         )
     if p.groups and p.num_c_blocks > 0:
-        c_rows, idx_sig_d = _numeric_sell_groups(
+        return _numeric_stage(
             p.a_flat, p.b_flat, p.keys_tbl,
             p.starts_sig, p.cnt_sig, p.ends_sig,
-            p.groups, impl,
-        )
-        sig_tbl = jnp.take(
-            p.keys_tbl, idx_sig_d, axis=0, mode="fill", fill_value=0,
-        )                                           # (R, 8)
-        return _compress_rows(
-            c_rows,
-            sig_tbl[:, 2].astype(jnp.uint32),
-            sig_tbl[:, 3].astype(jnp.uint32),
-            sig_tbl[:, 4], p.nnz_pad,
+            tuple(p.groups), impl, p.nnz_pad,
         )
     return jnp.zeros((p.nnz_pad,), jnp.float32)
 

@@ -146,3 +146,62 @@ def test_sharded_prepared_spmv_tall_matrix():
                                          dia_impl="xla"))
     ref = sp.csr_matrix((vals, (r, c)), shape=(n_rows, n_cols)) @ v
     np.testing.assert_allclose(u, ref, rtol=1e-5, atol=1e-5)
+
+
+@needs_8
+@pytest.mark.parametrize("d", [2, 8])
+def test_sharded_product_selective_exchange(d):
+    """Multi-chip SpGEMM fast path (parallel/product.py): host-planned
+    task-SELL numeric per shard + selective all_to_all tile exchange must
+    match the single-chip product exactly."""
+    from bmsparse_tpu.ops.spgemm import spgemm
+    from bmsparse_tpu.parallel.product import (
+        prepare_sharded_product, sharded_multiply,
+    )
+
+    # banded structure: shards need only neighbouring B rows, so the
+    # selective exchange moves far less than the full all-gather
+    n = 512
+    r1 = np.repeat(np.arange(n), 3)
+    c1 = np.clip(r1 + np.tile(np.arange(-1, 2), n), 0, n - 1)
+    key = np.unique(r1 * n + c1)
+    rows, cols = np.divmod(key, n)
+    vals = np.random.default_rng(11).standard_normal(
+        len(rows)).astype(np.float32)
+    a = coo_to_bmsparse(rows.astype(np.int32), cols.astype(np.int32),
+                        vals, (n, n))
+    bt = coo_to_bmsparse(rows.astype(np.int32), cols.astype(np.int32),
+                         vals, (n, n), transposed=True)
+    c_ref = spgemm(a, bt)
+
+    sa, sb = partition(a, d, align=16), partition(bt, d, align=16)
+    spp = prepare_sharded_product(sa, sb)
+    assert spp.comm_bytes_selective < spp.comm_bytes_allgather
+    c_sh = sharded_multiply(spp, make_mesh(d)).to_bmsparse()
+    for x, y in zip(c_ref.generate_coo(), c_sh.generate_coo()):
+        np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6)
+
+
+@needs_8
+def test_sharded_product_value_update():
+    """The sharded plan is structure-frozen: rebuilding operand tiles with
+    new values (same structure) and re-multiplying must track them."""
+    import dataclasses as dc
+
+    from bmsparse_tpu.ops.spgemm import spgemm
+    from bmsparse_tpu.parallel.product import (
+        prepare_sharded_product, sharded_multiply,
+    )
+
+    rows, cols, vals = random_coo(256, 256, density=0.03, seed=55)
+    a = coo_to_bmsparse(rows, cols, vals, (256, 256))
+    bt = coo_to_bmsparse(rows, cols, vals, (256, 256), transposed=True)
+    sa, sb = partition(a, 4, align=16), partition(bt, 4, align=16)
+    spp = prepare_sharded_product(sa, sb)
+    spp2 = dc.replace(spp, a_flat=spp.a_flat * 2.0)
+    c_sh = sharded_multiply(spp2, make_mesh(4)).to_bmsparse()
+    a2 = coo_to_bmsparse(rows, cols, (vals * 2).astype(np.float32),
+                         (256, 256))
+    c_ref = spgemm(a2, bt)
+    for x, y in zip(c_ref.generate_coo(), c_sh.generate_coo()):
+        np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6)
