@@ -151,12 +151,23 @@ def main():
                                    2_097_152),
         "blockdense1M": lambda: _from(
             make_blockdense(1_048_576, 327_680, seed=5), 1_048_576),
+        # real-structure families (SuiteSparse stand-ins; downloads are
+        # unavailable here — see utils/testmats.py)
+        "fem1M": lambda: _real(tm.fem2d(1024, seed=7)),
+        "road1M": lambda: _real(tm.roadnet(1_048_576, seed=8)),
+        "web256k": lambda: _real(tm.webgraph(262_144, avg_deg=8, seed=9)),
     }
     _cache: dict = {}
+
+    from bmsparse_tpu.utils import testmats as tm
 
     def _from(rcv, n):
         rows, cols, vals = rcv
         return coo_to_bmsparse(rows, cols, vals, (n, n), backend="host")
+
+    def _real(rcvs):
+        rows, cols, vals, shape = rcvs
+        return coo_to_bmsparse(rows, cols, vals, shape, backend="host")
 
     def get_matrix(name):
         if name not in _cache:
@@ -296,27 +307,16 @@ def main():
 
             t_plan = time_chain(plan_step, p.c_seg, iters=10)
 
-            tas = [s[0] for s in pp._slots]
-            tbs = [s[1] for s in pp._slots]
-            ks = tuple(int(t.shape[1]) for t in tas)
+            ks = tuple(kg for kg, _, _ in p.groups)
 
-            def num_step(af, bf, shi, slo, soff, *tabs):
+            def num_step(af, bf, ktbl, ssig, csig, esig):
                 # af is the loop carry, so the whole stage depends on it
                 # (no hoisting); the return folds the FULL cv back into
                 # the carry — a single-element dependence lets XLA
                 # dead-code-eliminate most of the numeric phase (measured!)
-                a_t = jnp.concatenate(
-                    [af.T, jnp.zeros((64, 1), af.dtype)], axis=1)
-                b_t = jnp.concatenate(
-                    [bf.T, jnp.zeros((64, 1), bf.dtype)], axis=1)
-                n = len(tabs) // 2
-                parts = [
-                    sg._numeric_sell_group(
-                        a_t, b_t, tabs[i], tabs[n + i], impl)
-                    for i in range(n)
-                ]
-                c_rows = parts[0] if n == 1 else jnp.concatenate(parts)
-                cv = sg._compress_rows(c_rows, shi, slo, soff, p.nnz_pad)
+                cv = sg._numeric_stage(
+                    af, bf, ktbl, ssig, csig, esig,
+                    tuple(p.groups), impl, p.nnz_pad, p.s_pad)
                 return af + (
                     jnp.sum(cv) * jnp.float32(1e-30)
                 ).astype(af.dtype)
@@ -327,8 +327,8 @@ def main():
                 return
             t_num = time_chain(
                 num_step, p.a_flat, iters=10,
-                args=(p.b_flat, pp._sig_hi, pp._sig_lo, pp._sig_off,
-                      *tas, *tbs))
+                args=(p.b_flat, p.keys_tbl, p.starts_sig, p.cnt_sig,
+                      p.ends_sig))
             t_dev = t_sym + t_plan + t_num
             gnnz = cnnz / t_dev / 1e9
             min_bytes = rl.spgemm_min_bytes(
@@ -353,8 +353,8 @@ def main():
                 bf16 = p.b_flat.astype(jnp.bfloat16)
                 t16 = time_chain(
                     num_step, af16, iters=10,
-                    args=(bf16, pp._sig_hi, pp._sig_lo, pp._sig_off,
-                          *tas, *tbs))
+                    args=(bf16, p.keys_tbl, p.starts_sig, p.cnt_sig,
+                          p.ends_sig))
                 log(f"SpGEMM {name} [bf16 tiles]: num={t16*1e3:.2f}ms")
                 detail["spgemm"][name]["num_bf16_seconds"] = t16
         except Exception as e:
@@ -372,6 +372,10 @@ def main():
         ("spmv", "blockdense1M"),
         ("spgemm", "blockdense64k"),
         ("spmv", "blockdense64k"),
+        ("spmv", "fem1M"),
+        ("spmv", "road1M"),
+        ("spmv", "web256k"),
+        ("spgemm", "fem1M"),
         ("spmv", "band256k"),
         ("spmv", "Ragusa16"),
         ("spgemm", "Ragusa16"),

@@ -74,18 +74,12 @@ def build_report(m, sizes, v, mesh_fn, iters=5, run_sim=True) -> dict:
     for d in sizes:
         row = {"d": d}
         t_comp = t_compute_1 / d
-        t_comm = _ring_allgather_seconds(v_bytes, d)
-        row["projected"] = {
-            "compute_s": t_comp,
-            "ici_s": t_comm,
-            "ici_bytes_per_chip": int(v_bytes * (d - 1) / d),
-            "efficiency_serialized": t_comp / (t_comp + t_comm),
-            "efficiency_overlapped": t_comp / max(t_comp, t_comm),
-        }
+        halo = None
         if run_sim and d <= len(jax.devices()):
             mesh = mesh_fn(d)
             sm = partition(m, d, align=16)
             sp = prepare_sharded(sm)
+            halo = sp.halo
             nbs = np.asarray(sm.nb)
             t, u = time_op(
                 lambda: sharded_spmv_prepared(sp, v, mesh),
@@ -97,9 +91,26 @@ def build_report(m, sizes, v, mesh_fn, iters=5, run_sim=True) -> dict:
             row["measured_sim"] = {
                 "ok": bool(err < 1e-3),
                 "max_rel_err": err,
+                "exchange": "halo" if (halo and d > 1) else "allgather",
                 "shard_imbalance": float(nbs.max() / max(nbs.mean(), 1e-9)),
                 "cpu_sim_seconds_UNREPRESENTATIVE": t,
             }
+        # ICI model: plan-proven halo windows move O(halo) bytes per chip
+        # over two neighbour ppermutes; general sparsity all-gathers v
+        if halo is not None and d > 1:
+            ici_bytes = (halo[0] + halo[1]) * 4
+            t_comm = ici_bytes / (ICI_RING_GBPS * 1e9)
+        else:
+            ici_bytes = int(v_bytes * (d - 1) / d)
+            t_comm = _ring_allgather_seconds(v_bytes, d)
+        row["projected"] = {
+            "compute_s": t_comp,
+            "ici_s": t_comm,
+            "ici_bytes_per_chip": ici_bytes,
+            "exchange": "halo" if (halo and d > 1) else "allgather",
+            "efficiency_serialized": t_comp / (t_comp + t_comm),
+            "efficiency_overlapped": t_comp / max(t_comp, t_comm),
+        }
         report["spmv"].append(row)
 
     # SpGEMM (A . A^T-layout): selective-exchange payloads per mesh size
@@ -147,11 +158,10 @@ def build_report(m, sizes, v, mesh_fn, iters=5, run_sim=True) -> dict:
                 if run_sim:
                     c = sharded_multiply(spp, mesh_fn(d))
                     cb = c.to_bmsparse()
-                    ref = (m.to_scipy() @ m.to_scipy()).toarray()
-                    err = float(
-                        np.abs(cb.to_scipy().toarray() - ref).max()
-                        / max(np.abs(ref).max(), 1e-30)
-                    )
+                    refm = (m.to_scipy() @ m.to_scipy()).tocsr()
+                    diff = abs(cb.to_scipy().tocsr() - refm)
+                    dmax = diff.max() if diff.nnz else 0.0
+                    err = float(dmax / max(abs(refm).max(), 1e-30))
                     row["measured_sim"] = {
                         "ok": bool(err < 1e-3), "max_rel_err": err,
                     }

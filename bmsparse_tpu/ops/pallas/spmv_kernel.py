@@ -26,7 +26,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DIA_TILE_ROWS = 256  # 128-lane rows of u per grid step: 128 KB f32
+# 128-lane rows of u per grid step. Swept on stencil2M (round 2):
+# 128 -> 183.6, 256 -> 184.9, 512 -> 185.5, 1024 -> 187.8 Gnnz/s (91.7%
+# of roofline) — bigger tiles amortize the window load and lengthen the
+# HBM streams; 1024 keeps the (nd, tr, 128) operand block within VMEM
+# for the stencil family's diagonal counts.
+DIA_TILE_ROWS = 1024
 
 
 def _dia_kernel(v_ref, dia_ref, u_ref, *, offsets, lead_rows, tr, wpad):

@@ -22,34 +22,11 @@ is unchanged: pass the updated operands to __call__.
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 
 from ..format.bmsparse import BmSparse
 from ..utils.timing import PhaseTimer
 from . import spgemm as sg
-
-
-@partial(jax.jit, static_argnames=("impl", "nnz_pad"))
-def _cached_numeric(
-    a_flat, b_flat, sig_hi, sig_lo, sig_off, *tabs,
-    impl: str, nnz_pad: int,
-):
-    """One-dispatch numeric for a cached product: operand-table build,
-    slot gathers, fused products, K-sums, bit-order compress."""
-    a_t = jnp.concatenate(
-        [a_flat.T, jnp.zeros((64, 1), a_flat.dtype)], axis=1)
-    b_t = jnp.concatenate(
-        [b_flat.T, jnp.zeros((64, 1), b_flat.dtype)], axis=1)
-    n = len(tabs) // 2
-    parts = [
-        sg._numeric_sell_group(a_t, b_t, tabs[i], tabs[n + i], impl)
-        for i in range(n)
-    ]
-    c_rows = parts[0] if n == 1 else jnp.concatenate(parts)
-    return sg._compress_rows(c_rows, sig_hi, sig_lo, sig_off, nnz_pad)
 
 
 class PreparedProduct:
@@ -61,41 +38,16 @@ class PreparedProduct:
         self.shape = (plan.a.num_rows, plan.b.num_cols)
         self.num_c_blocks = plan.num_c_blocks
         self.num_c_nnz = plan.num_c_nnz
-        # cache the slot operand indices per K-group (the only consumers
-        # of keys_tbl columns 6/7 / the sigma tables)
-        self._slots = []
-        from ..config import bucket_size
-
-        for kg, c0, c1 in plan.groups:
-            ch = c1 - c0
-            ch_pad = bucket_size(ch, minimum=1)
-            ta, tb = sg._gather_group_slots(
-                plan.keys_tbl, plan.starts_sig, plan.cnt_sig,
-                jnp.int32(c0), ch_pad, kg,
-                plan.a_flat.shape[0], plan.b_flat.shape[0],
-            )
-            idx = sg._sig_rows_for_group(
-                plan.ends_sig, jnp.int32(c0), jnp.int32(ch), ch_pad
-            )
-            self._slots.append((ta, tb, idx))
-        if self._slots:
-            idx_sig = (self._slots[0][2] if len(self._slots) == 1
-                       else jnp.concatenate([s[2] for s in self._slots]))
-            sig_tbl = jnp.take(
-                plan.keys_tbl, idx_sig, axis=0, mode="fill", fill_value=0
-            )
-            self._sig_hi = sig_tbl[:, 2].astype(jnp.uint32)
-            self._sig_lo = sig_tbl[:, 3].astype(jnp.uint32)
-            self._sig_off = sig_tbl[:, 4]
 
     def __call__(self, a=None, b=None) -> BmSparse:
-        """Multiply with the cached structure.
+        """Multiply with the cached structure — one jitted dispatch
+        (ops/spgemm.py::_numeric_stage), zero host syncs.
 
         a/b: optional operands with updated VALUES but identical structure
         (same blocks/bitmaps); BmSparse or Prepared. Defaults to the
         operands captured at prepare time.
         """
-        from .plan import Prepared, as_matrix
+        from .plan import Prepared
 
         p = self.plan
         a_flat = p.a_flat
@@ -111,14 +63,14 @@ class PreparedProduct:
             if b_flat.shape != p.b_flat.shape:
                 raise ValueError("operand B structure changed; re-prepare")
 
-        if not self._slots or p.num_c_blocks == 0:
+        if not p.groups or p.num_c_blocks == 0:
             return sg._assemble_c(
                 p, jnp.zeros((p.nnz_pad,), jnp.float32)
             )
-        c_values = _cached_numeric(
-            a_flat, b_flat, self._sig_hi, self._sig_lo, self._sig_off,
-            *[s[0] for s in self._slots], *[s[1] for s in self._slots],
-            impl=self.impl, nnz_pad=p.nnz_pad,
+        c_values = sg._numeric_stage(
+            a_flat, b_flat, p.keys_tbl,
+            p.starts_sig, p.cnt_sig, p.ends_sig,
+            tuple(p.groups), self.impl, p.nnz_pad, p.s_pad,
         )
         return sg._assemble_c(p, c_values)
 

@@ -191,20 +191,28 @@ def _build_tasks(
     a_idx = jnp.where(alive, a_idx, jnp.int32(a.nb_pad - 1))
     b_idx = jnp.where(alive, b_idx, jnp.int32(b.nb_pad - 1))
 
-    # T5: single lexicographic sort replaces thrust::sort/bb_segsort; the
-    # task product bitmaps ride along so T6 never regathers blocks.
+    # T5: single lexicographic sort replaces thrust::sort/bb_segsort.
     # (ops/segsort.py is the public sort surface — the segmented variant
     # is this same lex sort with the segment id as leading key.)
+    # Only (keys, task id) go through the sort; the four payload fields
+    # follow with ONE packed row-gather at the sorted task ids — sort
+    # cost scales with the carried array count (6-array sort measured
+    # ~2x the 3-array one at 330k tasks) while a 4-wide row gather runs
+    # near HBM bandwidth.
     from .segsort import sort_by_key
 
-    ck_row, ck_col, a_idx, b_idx, ph, pl = sort_by_key(
-        ck_row, ck_col, a_idx, b_idx,
-        ph.astype(jnp.int32), pl.astype(jnp.int32),
-        num_keys=2,
-    )
+    payload = jnp.stack(
+        [a_idx, b_idx, ph.astype(jnp.int32), pl.astype(jnp.int32)],
+        axis=1,
+    )                                                    # (nt, 4)
+    ck_row, ck_col, t_src = sort_by_key(ck_row, ck_col, t, num_keys=2)
+    rows_s = jnp.take(payload, t_src, axis=0)
+    a_idx = rows_s[:, 0]
+    b_idx = rows_s[:, 1]
+    ph = rows_s[:, 2].astype(jnp.uint32)
+    pl = rows_s[:, 3].astype(jnp.uint32)
     nz_total = jnp.sum(alive.astype(jnp.int32))
-    return (a_idx, b_idx, ck_row, ck_col,
-            ph.astype(jnp.uint32), pl.astype(jnp.uint32), nz_total)
+    return (a_idx, b_idx, ck_row, ck_col, ph, pl, nz_total)
 
 
 # ---------------------------------------------------------------------------
@@ -622,18 +630,24 @@ def _compress_sigma(
     return _compress_core(c_rows, hi, lo, off, num_c_nnz)
 
 
-def _compress_core(c_rows, hi, lo, off, num_c_nnz: int) -> jax.Array:
+def _pack_rows(c_rows, hi, lo, off):
+    """Per-block bit-order packing: returns (w, b_row) where w (R, 128)
+    holds each block's packed values rotated to their output lane
+    positions (lanes [0,64) belong to output row b_row, lanes [64,128) to
+    row b_row + 1).
+
+    One STABLE 64-lane sort keyed on the unset flag packs the set-bit
+    values to the front in slot order — stability IS the rank, so no
+    prefix-popcount is needed (saves an expand+cumsum pass, measured
+    ~0.5 ms at 164k blocks); one variable right-rotation by off%64 then
+    holds BOTH parts: lanes [r, 64) carry the first-row values, wrapped
+    lanes [0, cnt+r-64) carry the next-row values.
+    """
     bits = bm.expand_bits(hi, lo)                       # (R, 64)
-    rank = bm.prefix_popcount(bits)
     r = (off % 64)[:, None].astype(jnp.int32)
     set_ = bits > 0
     lane = jnp.arange(64, dtype=jnp.int32)[None, :]
-
-    # one stable 64-lane sort packs the set-bit values to the front in
-    # rank order; one variable right-rotation by r then holds BOTH parts:
-    # lanes [r, 64) carry the first-row values, wrapped lanes [0, cnt+r-64)
-    # carry the next-row values.
-    key = jnp.where(set_, rank, 64 + lane)
+    key = 1 - set_.astype(jnp.int32)
     _, packed = jax.lax.sort((key, c_rows), dimension=1, num_keys=1)
     cnt = jnp.sum(set_, axis=1, dtype=jnp.int32)[:, None]
     packed = jnp.where(lane < cnt, packed, 0.0)
@@ -642,22 +656,77 @@ def _compress_core(c_rows, hi, lo, off, num_c_nnz: int) -> jax.Array:
         packed = jnp.where((r >> k) & 1 > 0, rolled, packed)
     v0 = jnp.where((lane >= r) & (lane < r + cnt), packed, 0.0)
     v1 = jnp.where(lane < cnt + r - 64, packed, 0.0)
-
-    t_rows = -(-num_c_nnz // 64) if num_c_nnz else 1
-    b_row = (off // 64).astype(jnp.int32)
-    # ONE 128-wide row scatter-add instead of two 64-wide ones (TPU row
-    # scatters cost per row, not per byte — measured ~0.08 Grow/s): lanes
-    # [0,64) of scattered row r land in output row r, lanes [64,128) in
-    # row r+1; a shifted fold after the scatter splits them.
     w = jnp.concatenate([v0, v1], axis=1)                # (R, 128)
-    out128 = jnp.zeros((t_rows + 1, 128), jnp.float32).at[b_row].add(
-        w, mode="drop"
-    )
+    return w, (off // 64).astype(jnp.int32)
+
+
+def _fold_out(out128, t_rows: int, num_c_nnz: int) -> jax.Array:
+    """Split 128-wide packed rows back into 64-lane output rows: row q's
+    lanes [64,128) belong to output row q+1."""
     carry = jnp.concatenate(
         [jnp.zeros((1, 64), jnp.float32), out128[: t_rows - 1, 64:]]
     ) if t_rows > 1 else jnp.zeros((t_rows, 64), jnp.float32)
     out = out128[:t_rows, :64] + carry
     return out.reshape(-1)[:num_c_nnz]
+
+
+def _compress_core(c_rows, hi, lo, off, num_c_nnz: int) -> jax.Array:
+    w, b_row = _pack_rows(c_rows, hi, lo, off)
+    t_rows = -(-num_c_nnz // 64) if num_c_nnz else 1
+    # ONE 128-wide row scatter-add instead of two 64-wide ones (TPU row
+    # scatters cost per row-tile, not per byte — measured ~0.08 Grow/s).
+    out128 = jnp.zeros((t_rows + 1, 128), jnp.float32).at[b_row].add(
+        w, mode="drop"
+    )
+    return _fold_out(out128, t_rows, num_c_nnz)
+
+
+@partial(jax.jit, static_argnames=("num_c_nnz", "s_pad"))
+def _compress_rows_mxu(
+    c_rows: jax.Array,
+    hi: jax.Array, lo: jax.Array, off: jax.Array, valid: jax.Array,
+    num_c_nnz: int, s_pad: int,
+) -> jax.Array:
+    """Compress with the placement done by the MXU one-hot scatter kernel
+    (ops/pallas/spgemm_kernel.py::scatter_tiles_mxu) instead of the XLA
+    row scatter-add (the measured ~14 ns/row floor of the XLA scatter is
+    the dominant compress cost; see that kernel's docstring).
+
+    The source rows are dest-sorted and slotted per 128-row destination
+    tile with sorts, searchsorted, and row-gathers only — all fast
+    primitives; s_pad is the plan-computed max sources per tile.
+    """
+    w, b_row = _pack_rows(c_rows, hi, lo, off)
+    r = c_rows.shape[0]
+    t_rows = -(-num_c_nnz // 64) if num_c_nnz else 1
+    ntiles = -(-(t_rows + 1) // 128)
+    # padding/invalid rows -> a dest beyond every tile (never slotted)
+    dest = jnp.where(valid, b_row, jnp.int32(ntiles * 128))
+    iota = jnp.arange(r, dtype=jnp.int32)
+    dest_s, src_s = jax.lax.sort((dest, iota), num_keys=1)
+    bases = jnp.arange(ntiles + 1, dtype=jnp.int32) * 128
+    starts = jnp.searchsorted(dest_s, bases).astype(jnp.int32)
+    cnt = starts[1:] - starts[:-1]                       # (ntiles,)
+    k_iota = jnp.arange(s_pad, dtype=jnp.int32)
+    idx = starts[:-1, None] + k_iota[None, :]            # (ntiles, s_pad)
+    live = k_iota[None, :] < cnt[:, None]
+    pair = jnp.stack([src_s, dest_s], axis=1)            # (r, 2)
+    got = jnp.take(pair, jnp.clip(idx, 0, r - 1).reshape(-1), axis=0)
+    slot_src = jnp.where(live.reshape(-1), got[:, 0], r)
+    d_local = jnp.where(
+        live.reshape(-1),
+        got[:, 1] - jnp.repeat(bases[:-1], s_pad),
+        jnp.int32(128),
+    )
+    w_ext = jnp.concatenate([w, jnp.zeros((1, 128), w.dtype)])
+    wp = jnp.take(w_ext, slot_src, axis=0)               # row gather
+    from .pallas.spgemm_kernel import scatter_tiles_mxu
+
+    out = scatter_tiles_mxu(
+        wp.reshape(ntiles, s_pad, 128),
+        d_local.reshape(ntiles, s_pad),
+    )
+    return _fold_out(out, t_rows, num_c_nnz)
 
 
 # ---------------------------------------------------------------------------
@@ -758,8 +827,8 @@ class _ProductPlan:
         "a", "b", "a_flat", "b_flat", "keys_tbl",
         "starts_sig", "cnt_sig", "ends_sig", "groups",
         "num_tasks", "num_alive", "num_c_blocks", "num_c_nnz",
-        "nbc_pad", "nnz_pad", "a_idx", "b_idx", "c_seg",
-        "cbrow", "cbcol", "c_off", "nat_tbl",
+        "nbc_pad", "nnz_pad", "s_pad", "a_idx", "b_idx", "c_seg",
+        "cbrow", "cbcol", "c_off", "c_hi", "c_lo", "nat_tbl",
     )
 
 
@@ -827,6 +896,26 @@ def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
         p.starts_sig, p.cnt_sig, p.ends_sig = starts_sig, cnt_sig, ends_sig
         p.groups = _contiguous_k_groups(kc)
 
+        # size the MXU scatter's static slot depth (one scalar pull;
+        # skew-heavy structures fall back to the XLA scatter)
+        p.s_pad = None
+        if p.groups and p.num_c_nnz > 0:
+            idx_parts = [
+                _sig_rows_for_group(
+                    ends_sig, jnp.int32(c0), jnp.int32(c1 - c0),
+                    bucket_size(c1 - c0, minimum=1),
+                )
+                for _, c0, c1 in p.groups
+            ]
+            idx_sig = (idx_parts[0] if len(idx_parts) == 1
+                       else jnp.concatenate(idx_parts))
+            t_rows = -(-p.nnz_pad // 64)
+            s_need = int(_scatter_extent(keys_tbl, idx_sig, t_rows))
+            # multiple of 128: the kernel's d_local block lane dimension
+            # must be 128-divisible (Mosaic tiling constraint)
+            sp = round_up(max(s_need, 1), 128)
+            p.s_pad = sp if sp <= 2048 else None
+
     # natural-order container fields: one row-gather of the task-space
     # table at the end positions (all on device)
     nat_tbl = jnp.take(
@@ -837,6 +926,8 @@ def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
     p.nat_tbl = nat_tbl
     p.cbrow = jnp.where(valid_b, nat_tbl[:, 0], jnp.int32(a.block_rows))
     p.cbcol = jnp.where(valid_b, nat_tbl[:, 1], 0)
+    p.c_hi = jnp.where(valid_b, nat_tbl[:, 2], 0).astype(jnp.uint32)
+    p.c_lo = jnp.where(valid_b, nat_tbl[:, 3], 0).astype(jnp.uint32)
     p.c_off = jnp.where(
         valid_b, nat_tbl[:, 4], jnp.int32(max(p.num_c_nnz - 1, 0))
     )
@@ -893,15 +984,40 @@ def spgemm(
     return _assemble_c(p, c_values)
 
 
-@partial(jax.jit, static_argnames=("groups", "impl", "nnz_pad"))
+@partial(jax.jit, static_argnames=("t_rows",))
+def _scatter_extent(keys_tbl, idx_sig, t_rows: int):
+    """Max sources per 128-row destination tile (sizes the MXU scatter's
+    static slot depth; one scalar host pull in the plan phase)."""
+    valid = idx_sig < 2**30
+    rows = jnp.take(
+        keys_tbl, jnp.clip(idx_sig, 0, keys_tbl.shape[0] - 1), axis=0
+    )
+    ntiles = -(-(t_rows + 1) // 128)
+    dest = jnp.where(valid, rows[:, 4] // 64, ntiles * 128)
+    dest_s = jnp.sort(dest)
+    bases = jnp.arange(ntiles + 1, dtype=jnp.int32) * 128
+    starts = jnp.searchsorted(dest_s, bases)
+    return jnp.max(starts[1:] - starts[:-1])
+
+
+@partial(jax.jit, static_argnames=("groups", "impl", "nnz_pad", "s_pad"))
 def _numeric_stage(
     a_flat, b_flat, keys_tbl, starts_sig, cnt_sig, ends_sig,
-    groups: tuple, impl: str, nnz_pad: int,
+    groups: tuple, impl: str, nnz_pad: int, s_pad: int | None = None,
 ):
     """The ENTIRE numeric phase (slot gathers, products, K-sums, compress)
     as one jitted program — one dispatch per multiply (each eager op costs
     a full tunnel round trip on the axon runtime; the unjitted round-1
-    formulation burned ~30-55 ms per op on them)."""
+    formulation burned ~30-55 ms per op on them).
+
+    Compress operates in SIGMA row order directly. A natural-order
+    variant that merged g adjacent blocks per scattered row was measured
+    SLOWER (7.2 vs 5.0 ms at 164k blocks): TPU row scatter-add cost
+    scales with the number of 128-lane row-tiles touched, so widening
+    rows past 128 lanes buys nothing and the merge rolls + extra reorder
+    pass are pure overhead. The real fix is s_pad: when the plan supplies
+    it, placement runs on the MXU one-hot scatter kernel instead of the
+    XLA scatter."""
     c_rows, idx_sig_d = _numeric_sell_groups(
         a_flat, b_flat, keys_tbl, starts_sig, cnt_sig, ends_sig,
         list(groups), impl,
@@ -909,12 +1025,14 @@ def _numeric_stage(
     sig_tbl = jnp.take(
         keys_tbl, idx_sig_d, axis=0, mode="fill", fill_value=0,
     )                                               # (R, 8)
-    return _compress_rows(
-        c_rows,
-        sig_tbl[:, 2].astype(jnp.uint32),
-        sig_tbl[:, 3].astype(jnp.uint32),
-        sig_tbl[:, 4], nnz_pad,
-    )
+    hi = sig_tbl[:, 2].astype(jnp.uint32)
+    lo = sig_tbl[:, 3].astype(jnp.uint32)
+    off = sig_tbl[:, 4]
+    if s_pad:
+        return _compress_rows_mxu(
+            c_rows, hi, lo, off, idx_sig_d < 2**30, nnz_pad, s_pad
+        )
+    return _compress_rows(c_rows, hi, lo, off, nnz_pad)
 
 
 def _numeric_from_plan(p: _ProductPlan, impl: str) -> jax.Array:
@@ -934,7 +1052,7 @@ def _numeric_from_plan(p: _ProductPlan, impl: str) -> jax.Array:
         return _numeric_stage(
             p.a_flat, p.b_flat, p.keys_tbl,
             p.starts_sig, p.cnt_sig, p.ends_sig,
-            tuple(p.groups), impl, p.nnz_pad,
+            tuple(p.groups), impl, p.nnz_pad, p.s_pad,
         )
     return jnp.zeros((p.nnz_pad,), jnp.float32)
 

@@ -219,12 +219,19 @@ def sell_apply(
     out_gather: jax.Array,
     vpad: jax.Array,
     nbc: int,
+    col_base=None,
+    global_sentinel: int | None = None,
 ):
     """SELL-tier contribution: (block_rows, 8) row-major.
 
     Per K-group: one flat-index lane gather of v block segments, a fused
     multiply-reduce over (j, k), a lane->sublane transpose; then the
     inverse-permutation row gather places rows (fill rows -> 0).
+
+    col_base/global_sentinel: multi-chip halo mode — bcol indices are
+    GLOBAL block columns while vpad is a shard-local window starting at
+    block column col_base (traced); sentinel (= the global block-column
+    count) remaps to the window's zero column.
     """
     cdt = jnp.promote_types(sell_dense[0].dtype, jnp.float32)
     # v as (8, nbc+1): lanes = block columns, one zero sentinel column.
@@ -237,6 +244,14 @@ def sell_apply(
     )
     parts = []
     for dense_g, bcol_g in zip(sell_dense, sell_bcol):
+        if col_base is not None:
+            bcol_g = jnp.clip(
+                jnp.where(
+                    bcol_g == global_sentinel, jnp.int32(nbc),
+                    bcol_g - col_base,
+                ),
+                0, nbc,
+            )
         _, ch, kg, _, lanes = dense_g.shape
         # flat-index lane gather, then a free lane-split reshape; the
         # j-major dense layout lines up without a runtime transpose
@@ -250,9 +265,12 @@ def sell_apply(
             jnp.transpose(contrib, (0, 2, 1)).reshape(-1, BLOCK_HEIGHT)
         )
     u_rows = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-    return jnp.take(
-        u_rows, out_gather, axis=0, mode="fill", fill_value=0
+    # rows with no SELL blocks point at the appended zero row (an
+    # in-bounds gather; mode="fill" forces a slower masked-gather path)
+    u_ext = jnp.concatenate(
+        [u_rows, jnp.zeros((1, BLOCK_HEIGHT), u_rows.dtype)]
     )
+    return jnp.take(u_ext, jnp.minimum(out_gather, u_rows.shape[0]), axis=0)
 
 
 def spmv(m, v: jax.Array, impl: str | None = None) -> jax.Array:

@@ -45,6 +45,13 @@ class ShardedPrepared:
     sell_ks: tuple = dataclasses.field(metadata=dict(static=True), default=())
     out_gather: jax.Array | None = None   # (D, nbr_loc)
     sell_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # Halo exchange feasibility (plan-time, from the exact column
+    # dependency structure): (halo_left, halo_right) scalar-column
+    # counts, multiples of 128, covering EVERY shard's window into its
+    # neighbours' v chunks. None = some shard needs more than one
+    # neighbour's chunk (or a non-square layout) -> the all-gather path.
+    halo: tuple | None = dataclasses.field(
+        metadata=dict(static=True), default=None)
 
     def __getattr__(self, name):
         return getattr(object.__getattribute__(self, "sm"), name)
@@ -132,6 +139,37 @@ def prepare_sharded(sm: ShardedBmSparse) -> ShardedPrepared:
         stack(lambda p: p.out_gather) if forced_groups
         else jnp.zeros((d, bpr), jnp.int32)
     )
+    # ---- halo feasibility: exact per-shard column windows ---------------
+    from ..config import BLOCK_WIDTH, round_up
+
+    chunk = round_up(round_up(sm.num_cols, BLOCK_WIDTH), 128 * d) // d
+    npad_loc = bpr * BLOCK_HEIGHT
+    halo = None
+    if npad_loc >= chunk:  # square-ish layouts only (see dia col_shift)
+        h_l = 0
+        h_r = 0
+        ok = True
+        for s, lm in enumerate(locals_):
+            own_lo, own_hi = s * chunk, (s + 1) * chunk
+            lo, hi = own_lo, own_hi
+            valid = np.asarray(lm.bmp_hi | lm.bmp_lo) != 0
+            if valid.any():
+                bc = np.asarray(lm.bcol)[valid]
+                lo = min(lo, int(bc.min()) * BLOCK_WIDTH)
+                hi = max(hi, (int(bc.max()) + 1) * BLOCK_WIDTH)
+            if forced_dia:
+                base = s * npad_loc
+                lo = min(lo, base + min(forced_dia))
+                hi = max(hi, base + npad_loc + max(forced_dia))
+            h_l = max(h_l, own_lo - lo)
+            h_r = max(h_r, hi - own_hi)
+            if own_lo - lo > chunk or hi - own_hi > chunk:
+                ok = False  # needs more than one neighbour chunk
+        if ok:
+            halo = (round_up(h_l, 128), round_up(h_r, 128))
+            if halo[0] > chunk or halo[1] > chunk:
+                halo = None
+
     return ShardedPrepared(
         sm=sm,
         dia=dia, dia_offsets=forced_dia,
@@ -139,4 +177,5 @@ def prepare_sharded(sm: ShardedBmSparse) -> ShardedPrepared:
         sell_ks=tuple(k for k, _ in forced_groups),
         out_gather=out_gather,
         sell_rows=plans[0].sell_rows if plans else 0,
+        halo=halo,
     )

@@ -81,28 +81,61 @@ def sharded_spmv(sm: ShardedBmSparse, v: jax.Array, mesh: Mesh) -> jax.Array:
 def _local_spmv_prepared(
     dia, out_gather, v_local, *sell_arrays,
     dia_offsets, sell_ks, rows_per_shard, num_cols, v_len, dia_impl,
-    num_shards,
+    num_shards, halo=None,
 ):
-    """Per-shard tiered SpMV body (the fast path): all-gather v, run the
-    DIA tier with the shard base as a traced column shift, the SELL tier
-    against the global gathered v."""
+    """Per-shard tiered SpMV body (the fast path).
+
+    Exchange: with `halo` (plan-proven single-neighbour column windows)
+    only the two halo slices move over ICI — ppermute left + right, O(1)
+    bytes per chip instead of the all-gather's O(v). Without it, v is
+    all-gathered (general sparsity needs the full vector)."""
     from ..ops.spmv import dia_apply, sell_apply
 
     s = jax.lax.axis_index(AXIS)
-    v_full = jax.lax.all_gather(v_local[0], AXIS, tiled=True)[:v_len]
-    n = round_up(num_cols, BLOCK_WIDTH)
-    vpad = jnp.zeros((n,), jnp.float32).at[: v_full.shape[0]].set(
-        v_full.astype(jnp.float32)
-    )
     npad_loc = rows_per_shard * BLOCK_HEIGHT
+    d = num_shards
+    if halo is not None:
+        hl, hr = halo
+        own = v_local[0].astype(jnp.float32)
+        chunk = own.shape[0]
+        pieces = []
+        if hl:
+            left = jax.lax.ppermute(
+                own[chunk - hl:], AXIS,
+                [(i, (i + 1) % d) for i in range(d)],
+            )
+            pieces.append(jnp.where(s > 0, left, 0.0))
+        pieces.append(own)
+        if hr:
+            right = jax.lax.ppermute(
+                own[:hr], AXIS, [(i, (i - 1) % d) for i in range(d)],
+            )
+            pieces.append(jnp.where(s < d - 1, right, 0.0))
+        vpad = jnp.concatenate(pieces) if len(pieces) > 1 else pieces[0]
+        n = chunk + hl + hr
+        dia_shift = s * (npad_loc - chunk) + hl
+        dia_max_rows = ((d - 1) * max(npad_loc - chunk, 0) + hl) // 128
+        sell_base = s * (chunk // BLOCK_WIDTH) - hl // BLOCK_WIDTH
+        sentinel = -(-num_cols // BLOCK_WIDTH)
+    else:
+        v_full = jax.lax.all_gather(v_local[0], AXIS, tiled=True)[:v_len]
+        n = round_up(num_cols, BLOCK_WIDTH)
+        vpad = jnp.zeros((n,), jnp.float32).at[: v_full.shape[0]].set(
+            v_full.astype(jnp.float32)
+        )
+        dia_shift = s * npad_loc
+        # tall matrices: late shards' bases exceed n; size the slice
+        # source for the largest base so dynamic_slice never clamps
+        dia_max_rows = ((num_shards - 1) * npad_loc) // 128
+        sell_base = None
+        sentinel = None
+
     u = jnp.zeros((npad_loc,), jnp.float32)
     if dia_offsets:
         u2 = dia_apply(
             dia[0], dia_offsets, vpad, n, dia_impl=dia_impl,
-            col_shift=s * npad_loc,
-            # tall matrices: late shards' bases exceed n; size the slice
-            # source for the largest base so dynamic_slice never clamps
-            max_shift_rows=((num_shards - 1) * npad_loc) // 128,
+            col_shift=dia_shift,
+            max_shift_rows=dia_max_rows,
         )
         u = u + u2.reshape(-1)[:npad_loc]
     if sell_ks:
@@ -110,17 +143,24 @@ def _local_spmv_prepared(
         dense = tuple(x[0] for x in sell_arrays[:ng])
         bcol = tuple(x[0] for x in sell_arrays[ng:])
         u_sell = sell_apply(
-            dense, bcol, out_gather[0], vpad, n // BLOCK_WIDTH
+            dense, bcol, out_gather[0], vpad, n // BLOCK_WIDTH,
+            col_base=sell_base, global_sentinel=sentinel,
         )
         u = u + u_sell.reshape(npad_loc)
     return u[None, :]
 
 
 def sharded_spmv_prepared(
-    sp, v: jax.Array, mesh: Mesh, dia_impl: str | None = None
+    sp, v: jax.Array, mesh: Mesh, dia_impl: str | None = None,
+    exchange: str = "auto",
 ) -> jax.Array:
     """u = A @ v over the mesh using the tiered per-shard plans
-    (parallel/plan.py::prepare_sharded) — the multi-chip fast path."""
+    (parallel/plan.py::prepare_sharded) — the multi-chip fast path.
+
+    exchange: "halo" (plan-proven neighbour windows; ppermute of two
+    halo slices — O(halo) ICI bytes), "allgather" (full v), or "auto"
+    (halo whenever the plan proved it feasible).
+    """
     from ..config import get_config
 
     sm = sp.sm
@@ -132,8 +172,16 @@ def sharded_spmv_prepared(
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         dia_impl = impl
+    if exchange == "auto":
+        exchange = "halo" if sp.halo is not None else "allgather"
+    if exchange == "halo" and sp.halo is None:
+        raise ValueError("plan has no feasible halo (multi-neighbour "
+                         "window); use exchange='allgather'")
+    halo = sp.halo if exchange == "halo" else None
+
     v_len = round_up(sm.num_cols, BLOCK_WIDTH)
-    v_pad = round_up(v_len, d)
+    # 128-aligned chunks keep every halo/dia shift a multiple of 128
+    v_pad = round_up(v_len, 128 * d)
     vg = jnp.zeros((v_pad,), v.dtype).at[: v.shape[0]].set(v)
     vg = vg.reshape(d, v_pad // d)
 
@@ -154,6 +202,7 @@ def sharded_spmv_prepared(
             v_len=v_len,
             dia_impl=dia_impl,
             num_shards=d,
+            halo=halo,
         ),
         mesh=mesh,
         in_specs=specs,

@@ -205,3 +205,33 @@ def test_sharded_product_value_update():
     c_ref = spgemm(a2, bt)
     for x, y in zip(c_ref.generate_coo(), c_sh.generate_coo()):
         np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6)
+
+
+@needs_8
+def test_sharded_spmv_halo_exchange():
+    """Halo exchange (two neighbour ppermutes instead of the full v
+    all-gather) must be plan-feasible for banded structure and match the
+    all-gather path exactly."""
+    from bmsparse_tpu.parallel.plan import prepare_sharded
+    from bmsparse_tpu.parallel.spmv import sharded_spmv_prepared
+
+    n = 2048
+    r1 = np.repeat(np.arange(n), 5)
+    c1 = np.clip(r1 + np.tile(np.arange(-2, 3), n), 0, n - 1)
+    key = np.unique(r1 * n + c1)
+    rows, cols = np.divmod(key, n)
+    vals = np.random.default_rng(21).standard_normal(
+        len(rows)).astype(np.float32)
+    m = coo_to_bmsparse(rows.astype(np.int32), cols.astype(np.int32),
+                        vals, (n, n))
+    mesh = make_mesh(8)
+    spp = prepare_sharded(partition(m, 8, align=16))
+    assert spp.halo is not None, "banded window must be halo-feasible"
+    v = np.random.default_rng(22).standard_normal(n).astype(np.float32)
+    u_halo = np.asarray(sharded_spmv_prepared(
+        spp, jnp.asarray(v), mesh, dia_impl="xla", exchange="halo"))
+    u_ag = np.asarray(sharded_spmv_prepared(
+        spp, jnp.asarray(v), mesh, dia_impl="xla", exchange="allgather"))
+    ref = sp.csr_matrix((vals, (rows, cols)), shape=(n, n)) @ v
+    np.testing.assert_allclose(u_halo, ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(u_halo, u_ag, rtol=1e-6, atol=1e-6)

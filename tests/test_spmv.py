@@ -131,3 +131,31 @@ def test_spmv_rejects_transposed():
     m = coo_to_bmsparse(rows, cols, vals, (16, 16), transposed=True)
     with pytest.raises(ValueError):
         spmv(m, jnp.ones(16, jnp.float32))
+
+
+def test_real_structure_families_spmv():
+    """The SuiteSparse-stand-in generators (utils/testmats.py) must be
+    well-formed and run the tiered SpMV correctly; log the planner tier
+    choice for each family."""
+    import scipy.sparse as ssp
+
+    from bmsparse_tpu import coo_to_bmsparse
+    from bmsparse_tpu.ops.plan import prepare
+    from bmsparse_tpu.ops.spmv import spmv
+    from bmsparse_tpu.utils import testmats as tm
+
+    for name, gen in [
+        ("fem2d", lambda: tm.fem2d(64, seed=7)),
+        ("roadnet", lambda: tm.roadnet(4096, seed=8)),
+        ("webgraph", lambda: tm.webgraph(4096, avg_deg=6, seed=9)),
+    ]:
+        rows, cols, vals, shape = gen()
+        assert rows.shape == cols.shape == vals.shape
+        m = coo_to_bmsparse(rows, cols, vals, shape, backend="host")
+        p = prepare(m)
+        v = np.random.default_rng(3).standard_normal(
+            shape[1]).astype(np.float32)
+        u = np.asarray(spmv(p, jnp.asarray(v)))
+        ref = ssp.csr_matrix((vals, (rows, cols)), shape=shape) @ v
+        np.testing.assert_allclose(u, ref, rtol=1e-4, atol=1e-4,
+                                   err_msg=name)
