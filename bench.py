@@ -100,7 +100,8 @@ def main():
     except Exception:  # pragma: no cover
         pass
 
-    deadline = time.monotonic() + float(os.environ.get("BMSP_BENCH_BUDGET_S", 420))
+    budget_s = float(os.environ.get("BMSP_BENCH_BUDGET_S", 420))
+    deadline = time.monotonic() + budget_s  # re-based after the handshake
     headline_gnnz = 0.0
     headline_frac = 0.0
 
@@ -128,12 +129,33 @@ def main():
     from bmsparse_tpu.utils.benchit import ensure_handshake, time_chain
 
     dev = jax.devices()[0]
-    bw = rl.device_hbm_gbps(dev)
+    bw_spec = rl.device_hbm_gbps(dev)
     base = ensure_handshake()
-    log(f"device: {dev.device_kind}, assumed HBM {bw} GB/s, "
+    # the tunnel handshake can cost many minutes and is pure infra — the
+    # measurement budget starts now
+    deadline = time.monotonic() + budget_s
+
+    # calibrate the roofline denominator against the chip's MEASURED
+    # streaming bandwidth (a triad a+b*s: 2 reads + 1 write). The public
+    # spec figure under-reports some parts; a spec denominator then
+    # yields >100% "of roofline", the canonical sign of a broken model.
+    try:
+        big = jnp.ones((64 * 1024 * 1024,), jnp.float32)   # 256 MB
+        t_triad = time_chain(
+            lambda s, b: b + s[:1] * jnp.float32(1e-30) + s,
+            big, iters=8, args=(big * 2.0,))
+        bw_meas = 3 * big.size * 4 / t_triad / 1e9
+        bw = max(bw_spec, bw_meas)
+    except Exception:  # pragma: no cover
+        bw_meas = 0.0
+        bw = bw_spec
+    log(f"device: {dev.device_kind}, HBM spec {bw_spec} GB/s, measured "
+        f"triad {bw_meas:.0f} GB/s -> roofline bw {bw:.0f} GB/s, "
         f"fetch baseline {base*1e3:.1f} ms")
 
-    detail: dict = {"device": str(dev.device_kind), "hbm_gbps": bw,
+    detail: dict = {"device": str(dev.device_kind), "hbm_gbps_spec": bw_spec,
+                    "hbm_gbps_measured_triad": bw_meas,
+                    "hbm_gbps_used": bw,
                     "spmv": {}, "spgemm": {}}
 
     # Lazy suite: every compile over the tunnel costs 40-90 s, so matrices
@@ -172,7 +194,22 @@ def main():
     def get_matrix(name):
         if name not in _cache:
             t0 = time.monotonic()
-            _cache[name] = _gens[name]()
+            # disk cache: the big host-converter builds cost 30-70 s each
+            # and are deterministic; cache the container arrays
+            ck = f"scratch/bench_mat_{name}.npz"
+            if os.path.exists(ck):
+                from bmsparse_tpu import load_bmsparse
+
+                _cache[name] = load_bmsparse(ck)
+            else:
+                _cache[name] = _gens[name]()
+                try:
+                    os.makedirs("scratch", exist_ok=True)
+                    from bmsparse_tpu import save_bmsparse
+
+                    save_bmsparse(ck, _cache[name])
+                except Exception:  # pragma: no cover
+                    pass
             log(f"{name}: built in {time.monotonic()-t0:.1f}s")
         return _cache[name]
 
@@ -188,6 +225,8 @@ def main():
         nnz, nb = m.nnz, int(m.nb)
         min_bytes = rl.spmv_min_bytes(nnz, nb, m.num_rows, m.num_cols)
         roof = rl.roofline_nnz_per_s(min_bytes, nnz, bw)
+        roof_vo = rl.roofline_nnz_per_s(
+            rl.spmv_min_bytes_values_only(nnz), nnz, bw)
         mp = prepare(m)
         log(f"{name}: ndiags={len(mp.dia_offsets)} sell_ks={mp.sell_ks}")
         # time the auto path only (Pallas DIA on TPU): every extra impl
@@ -201,10 +240,13 @@ def main():
                 continue
             gnnz = nnz / t / 1e9
             frac = gnnz * 1e9 / roof
+            frac_vo = gnnz * 1e9 / roof_vo
             log(f"SpMV {name} [{impl}]: nnz={nnz} blocks={nb} t={t*1e6:.1f}us "
-                f"{gnnz:.3f} Gnnz/s ({frac*100:.1f}% of roofline)")
+                f"{gnnz:.3f} Gnnz/s ({frac*100:.1f}% of roofline; "
+                f"{frac_vo*100:.1f}% of the round-1 values-only floor)")
             detail["spmv"][f"{name}:{impl}"] = dict(
-                nnz=nnz, blocks=nb, seconds=t, gnnz_s=gnnz, roofline_frac=frac)
+                nnz=nnz, blocks=nb, seconds=t, gnnz_s=gnnz,
+                roofline_frac=frac, values_only_frac=frac_vo)
             # headline = the production-scale stencil case (the classic
             # PDE SpMV family; its 143 MB strip cannot hide in VMEM
             # across iterations, so the number is a stable cold-HBM
@@ -316,7 +358,7 @@ def main():
                 # dead-code-eliminate most of the numeric phase (measured!)
                 cv = sg._numeric_stage(
                     af, bf, ktbl, ssig, csig, esig,
-                    tuple(p.groups), impl, p.nnz_pad, p.s_pad)
+                    tuple(p.groups), impl, p.nnz_pad)
                 return af + (
                     jnp.sum(cv) * jnp.float32(1e-30)
                 ).astype(af.dtype)

@@ -129,55 +129,6 @@ def numeric_sell_pallas(a_t, b_t, ta, tb) -> jax.Array:
     return c_rows[: ch * 128]
 
 
-def _scatter_kernel(d_ref, w_ref, o_ref):
-    d = d_ref[0]                                    # (s_pad,) local dests
-    oh = (
-        jax.lax.broadcasted_iota(jnp.int32, (128, d.shape[0]), 0)
-        == d[None, :]
-    ).astype(jnp.float32)
-    o_ref[...] = jax.lax.dot_general(
-        oh, w_ref[0], (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-
-
-@functools.partial(jax.jit, static_argnames=())
-def scatter_tiles_mxu(wp: jax.Array, d_local: jax.Array) -> jax.Array:
-    """Row scatter-add as a per-tile one-hot matmul on the MXU.
-
-    XLA's row scatter-add runs at ~73 Mrow/s on v5e (~14 ns per 128-lane
-    row-tile, the dominant cost of the SpGEMM compress). With sources
-    pre-sorted and slotted by destination tile (plan-side), each 128-row
-    destination tile is the product OH(128 x s_pad) @ W(s_pad x 128)
-    where OH[t, s] = (d_local[s] == t): a {0,1} selector matmul that
-    performs the additions on the systolic array at f32-exact HIGHEST
-    precision. Measured intent: ~6x over the XLA scatter at band256k
-    scale.
-
-    wp: (ntiles, s_pad, 128) slotted source rows (zero rows in dead
-    slots); d_local: (ntiles, s_pad) destination row within the tile
-    (>=128 for dead slots). Returns (ntiles*128, 128).
-    """
-    ntiles, s_pad, _ = wp.shape
-    interpret = jax.default_backend() != "tpu"
-    out = pl.pallas_call(
-        _scatter_kernel,
-        grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec((1, s_pad), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((128, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ntiles * 128, 128), jnp.float32),
-        interpret=interpret,
-    )(d_local, wp)
-    return out
-
-
 def numeric_pallas(a_flat, b_flat, a_idx, b_idx, c_seg, num_c_blocks):
     """Compatibility entry for the chunked (task-stream) formulation:
     falls back to the XLA segment-sum path — the SELL-layout kernel above

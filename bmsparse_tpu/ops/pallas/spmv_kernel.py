@@ -26,12 +26,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# 128-lane rows of u per grid step. Swept on stencil2M (round 2):
-# 128 -> 183.6, 256 -> 184.9, 512 -> 185.5, 1024 -> 187.8 Gnnz/s (91.7%
-# of roofline) — bigger tiles amortize the window load and lengthen the
-# HBM streams; 1024 keeps the (nd, tr, 128) operand block within VMEM
-# for the stencil family's diagonal counts.
-DIA_TILE_ROWS = 1024
+# 128-lane rows of u per grid step. NOTE an attempted round-2 sweep to
+# 1024 was invalid (the sweep mutated this global without changing the
+# jit key, so every trial reused the first executable) and tile 1024
+# actually exceeds the 16 MB scoped-VMEM limit at 2M rows x 17 diagonals
+# (the resident padded vector alone is ~8.4 MB f32). 256 is the known
+# good operating point.
+DIA_TILE_ROWS = 256
 
 
 def _dia_kernel(v_ref, dia_ref, u_ref, *, offsets, lead_rows, tr, wpad):

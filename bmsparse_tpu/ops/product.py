@@ -70,7 +70,7 @@ class PreparedProduct:
         c_values = sg._numeric_stage(
             a_flat, b_flat, p.keys_tbl,
             p.starts_sig, p.cnt_sig, p.ends_sig,
-            tuple(p.groups), self.impl, p.nnz_pad, p.s_pad,
+            tuple(p.groups), self.impl, p.nnz_pad,
         )
         return sg._assemble_c(p, c_values)
 

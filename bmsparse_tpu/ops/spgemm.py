@@ -29,7 +29,7 @@ phases map as follows (phase labels T1..T6 follow SURVEY.md §2 #4):
       block product is 8 VPU fused multiply-accumulates (the analogue of
       the reference's default scalar variant tc_version=5, ref :1230);
       accumulation is a dense K-sum; bit-order packing is the row-granular
-      sort-compaction in _compress_sigma. The chunked segment-sum path
+      sort-compaction in _compress_rows. The chunked segment-sum path
       (_numeric_xla) remains for the jit-safe padded/shard_map entry.
 
 Two entry points:
@@ -191,28 +191,24 @@ def _build_tasks(
     a_idx = jnp.where(alive, a_idx, jnp.int32(a.nb_pad - 1))
     b_idx = jnp.where(alive, b_idx, jnp.int32(b.nb_pad - 1))
 
-    # T5: single lexicographic sort replaces thrust::sort/bb_segsort.
+    # T5: single lexicographic sort replaces thrust::sort/bb_segsort; the
+    # task product bitmaps ride along so T6 never regathers blocks.
     # (ops/segsort.py is the public sort surface — the segmented variant
     # is this same lex sort with the segment id as leading key.)
-    # Only (keys, task id) go through the sort; the four payload fields
-    # follow with ONE packed row-gather at the sorted task ids — sort
-    # cost scales with the carried array count (6-array sort measured
-    # ~2x the 3-array one at 330k tasks) while a 4-wide row gather runs
-    # near HBM bandwidth.
+    # Measured alternative: sorting only (keys, task id) and row-gathering
+    # the four payload fields afterwards is SLOWER (4.66 vs 3.71 ms at
+    # 330k tasks on v5e) — the payload row-gather costs more than the
+    # extra carried arrays in the sort.
     from .segsort import sort_by_key
 
-    payload = jnp.stack(
-        [a_idx, b_idx, ph.astype(jnp.int32), pl.astype(jnp.int32)],
-        axis=1,
-    )                                                    # (nt, 4)
-    ck_row, ck_col, t_src = sort_by_key(ck_row, ck_col, t, num_keys=2)
-    rows_s = jnp.take(payload, t_src, axis=0)
-    a_idx = rows_s[:, 0]
-    b_idx = rows_s[:, 1]
-    ph = rows_s[:, 2].astype(jnp.uint32)
-    pl = rows_s[:, 3].astype(jnp.uint32)
+    ck_row, ck_col, a_idx, b_idx, ph, pl = sort_by_key(
+        ck_row, ck_col, a_idx, b_idx,
+        ph.astype(jnp.int32), pl.astype(jnp.int32),
+        num_keys=2,
+    )
     nz_total = jnp.sum(alive.astype(jnp.int32))
-    return (a_idx, b_idx, ck_row, ck_col, ph, pl, nz_total)
+    return (a_idx, b_idx, ck_row, ck_col,
+            ph.astype(jnp.uint32), pl.astype(jnp.uint32), nz_total)
 
 
 # ---------------------------------------------------------------------------
@@ -597,36 +593,16 @@ def _compress_rows(
     num_c_nnz: int,
 ) -> jax.Array:
     """Pack dense C tiles into bit-order values; hi/lo/off are row-aligned
-    with c_rows (any order). See _compress_sigma for the method notes."""
-    return _compress_core(c_rows, hi, lo, off, num_c_nnz)
-
-
-@partial(jax.jit, static_argnames=("num_c_nnz",))
-def _compress_sigma(
-    c_rows: jax.Array, order: jax.Array,
-    c_hi: jax.Array, c_lo: jax.Array, c_offsets: jax.Array,
-    num_c_nnz: int,
-) -> jax.Array:
-    """Pack sigma-ordered dense C tiles into bit-order values.
-
-    c_rows[p] is the dense tile of C block order[p]; rows past the valid
-    range carry zero bitmaps (fill) and contribute nothing.
+    with c_rows (any order; rows with zero bitmaps contribute nothing).
 
     A naive per-element scatter runs at ~0.14 Gidx/s on v5e (measured:
     73 ms for 8M values — dominating the whole SpGEMM); TPU scatters cost
     per *index*, not per byte. So everything here is row-granular: each
     block's packed values occupy positions [off, off+cnt) which touch at
-    most TWO 64-wide output rows (cnt <= 64). Per block: (1) a 64-lane
-    sort compacts the set-bit values to the front in rank order, split
-    into the part landing in row off//64 and the part in the next row;
-    (2) a 6-stage conditional roll rotates part 0 to its lane offset
-    off%64 (part 1 always starts at lane 0); (3) two row scatter-adds
-    place them. Blocks sharing a row touch disjoint lanes, so adds never
-    collide on real values.
+    most TWO 64-wide output rows (cnt <= 64) = ONE scattered 128-lane
+    row. See _pack_rows/_compress_core for the stages and the measured
+    alternatives.
     """
-    hi = jnp.take(c_hi, order, axis=0, mode="fill", fill_value=0)
-    lo = jnp.take(c_lo, order, axis=0, mode="fill", fill_value=0)
-    off = jnp.take(c_offsets, order, axis=0, mode="fill", fill_value=0)
     return _compress_core(c_rows, hi, lo, off, num_c_nnz)
 
 
@@ -675,58 +651,18 @@ def _compress_core(c_rows, hi, lo, off, num_c_nnz: int) -> jax.Array:
     t_rows = -(-num_c_nnz // 64) if num_c_nnz else 1
     # ONE 128-wide row scatter-add instead of two 64-wide ones (TPU row
     # scatters cost per row-tile, not per byte — measured ~0.08 Grow/s).
+    # This scatter is the measured compress floor (~2.2 ms at 164k
+    # blocks). Two alternatives were built and benchmarked SLOWER on v5e:
+    # (a) natural-order g-block merging before the scatter (7.2 vs
+    # 5.0 ms total compress — scatter cost scales with 128-lane row-tiles
+    # touched, so wide merged rows buy nothing); (b) dest-sorted slotting
+    # + a Pallas MXU one-hot scatter-matmul (10.0 vs 6.5 ms numeric
+    # total — the slotting row-gathers cost more than the scatter they
+    # replace; TPU row gathers are per-index, not per-byte).
     out128 = jnp.zeros((t_rows + 1, 128), jnp.float32).at[b_row].add(
         w, mode="drop"
     )
     return _fold_out(out128, t_rows, num_c_nnz)
-
-
-@partial(jax.jit, static_argnames=("num_c_nnz", "s_pad"))
-def _compress_rows_mxu(
-    c_rows: jax.Array,
-    hi: jax.Array, lo: jax.Array, off: jax.Array, valid: jax.Array,
-    num_c_nnz: int, s_pad: int,
-) -> jax.Array:
-    """Compress with the placement done by the MXU one-hot scatter kernel
-    (ops/pallas/spgemm_kernel.py::scatter_tiles_mxu) instead of the XLA
-    row scatter-add (the measured ~14 ns/row floor of the XLA scatter is
-    the dominant compress cost; see that kernel's docstring).
-
-    The source rows are dest-sorted and slotted per 128-row destination
-    tile with sorts, searchsorted, and row-gathers only — all fast
-    primitives; s_pad is the plan-computed max sources per tile.
-    """
-    w, b_row = _pack_rows(c_rows, hi, lo, off)
-    r = c_rows.shape[0]
-    t_rows = -(-num_c_nnz // 64) if num_c_nnz else 1
-    ntiles = -(-(t_rows + 1) // 128)
-    # padding/invalid rows -> a dest beyond every tile (never slotted)
-    dest = jnp.where(valid, b_row, jnp.int32(ntiles * 128))
-    iota = jnp.arange(r, dtype=jnp.int32)
-    dest_s, src_s = jax.lax.sort((dest, iota), num_keys=1)
-    bases = jnp.arange(ntiles + 1, dtype=jnp.int32) * 128
-    starts = jnp.searchsorted(dest_s, bases).astype(jnp.int32)
-    cnt = starts[1:] - starts[:-1]                       # (ntiles,)
-    k_iota = jnp.arange(s_pad, dtype=jnp.int32)
-    idx = starts[:-1, None] + k_iota[None, :]            # (ntiles, s_pad)
-    live = k_iota[None, :] < cnt[:, None]
-    pair = jnp.stack([src_s, dest_s], axis=1)            # (r, 2)
-    got = jnp.take(pair, jnp.clip(idx, 0, r - 1).reshape(-1), axis=0)
-    slot_src = jnp.where(live.reshape(-1), got[:, 0], r)
-    d_local = jnp.where(
-        live.reshape(-1),
-        got[:, 1] - jnp.repeat(bases[:-1], s_pad),
-        jnp.int32(128),
-    )
-    w_ext = jnp.concatenate([w, jnp.zeros((1, 128), w.dtype)])
-    wp = jnp.take(w_ext, slot_src, axis=0)               # row gather
-    from .pallas.spgemm_kernel import scatter_tiles_mxu
-
-    out = scatter_tiles_mxu(
-        wp.reshape(ntiles, s_pad, 128),
-        d_local.reshape(ntiles, s_pad),
-    )
-    return _fold_out(out, t_rows, num_c_nnz)
 
 
 # ---------------------------------------------------------------------------
@@ -827,7 +763,7 @@ class _ProductPlan:
         "a", "b", "a_flat", "b_flat", "keys_tbl",
         "starts_sig", "cnt_sig", "ends_sig", "groups",
         "num_tasks", "num_alive", "num_c_blocks", "num_c_nnz",
-        "nbc_pad", "nnz_pad", "s_pad", "a_idx", "b_idx", "c_seg",
+        "nbc_pad", "nnz_pad", "a_idx", "b_idx", "c_seg",
         "cbrow", "cbcol", "c_off", "c_hi", "c_lo", "nat_tbl",
     )
 
@@ -895,26 +831,6 @@ def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
         kc = np.asarray(k_chunk_d)
         p.starts_sig, p.cnt_sig, p.ends_sig = starts_sig, cnt_sig, ends_sig
         p.groups = _contiguous_k_groups(kc)
-
-        # size the MXU scatter's static slot depth (one scalar pull;
-        # skew-heavy structures fall back to the XLA scatter)
-        p.s_pad = None
-        if p.groups and p.num_c_nnz > 0:
-            idx_parts = [
-                _sig_rows_for_group(
-                    ends_sig, jnp.int32(c0), jnp.int32(c1 - c0),
-                    bucket_size(c1 - c0, minimum=1),
-                )
-                for _, c0, c1 in p.groups
-            ]
-            idx_sig = (idx_parts[0] if len(idx_parts) == 1
-                       else jnp.concatenate(idx_parts))
-            t_rows = -(-p.nnz_pad // 64)
-            s_need = int(_scatter_extent(keys_tbl, idx_sig, t_rows))
-            # multiple of 128: the kernel's d_local block lane dimension
-            # must be 128-divisible (Mosaic tiling constraint)
-            sp = round_up(max(s_need, 1), 128)
-            p.s_pad = sp if sp <= 2048 else None
 
     # natural-order container fields: one row-gather of the task-space
     # table at the end positions (all on device)
@@ -984,40 +900,15 @@ def spgemm(
     return _assemble_c(p, c_values)
 
 
-@partial(jax.jit, static_argnames=("t_rows",))
-def _scatter_extent(keys_tbl, idx_sig, t_rows: int):
-    """Max sources per 128-row destination tile (sizes the MXU scatter's
-    static slot depth; one scalar host pull in the plan phase)."""
-    valid = idx_sig < 2**30
-    rows = jnp.take(
-        keys_tbl, jnp.clip(idx_sig, 0, keys_tbl.shape[0] - 1), axis=0
-    )
-    ntiles = -(-(t_rows + 1) // 128)
-    dest = jnp.where(valid, rows[:, 4] // 64, ntiles * 128)
-    dest_s = jnp.sort(dest)
-    bases = jnp.arange(ntiles + 1, dtype=jnp.int32) * 128
-    starts = jnp.searchsorted(dest_s, bases)
-    return jnp.max(starts[1:] - starts[:-1])
-
-
-@partial(jax.jit, static_argnames=("groups", "impl", "nnz_pad", "s_pad"))
+@partial(jax.jit, static_argnames=("groups", "impl", "nnz_pad"))
 def _numeric_stage(
     a_flat, b_flat, keys_tbl, starts_sig, cnt_sig, ends_sig,
-    groups: tuple, impl: str, nnz_pad: int, s_pad: int | None = None,
+    groups: tuple, impl: str, nnz_pad: int,
 ):
     """The ENTIRE numeric phase (slot gathers, products, K-sums, compress)
     as one jitted program — one dispatch per multiply (each eager op costs
     a full tunnel round trip on the axon runtime; the unjitted round-1
-    formulation burned ~30-55 ms per op on them).
-
-    Compress operates in SIGMA row order directly. A natural-order
-    variant that merged g adjacent blocks per scattered row was measured
-    SLOWER (7.2 vs 5.0 ms at 164k blocks): TPU row scatter-add cost
-    scales with the number of 128-lane row-tiles touched, so widening
-    rows past 128 lanes buys nothing and the merge rolls + extra reorder
-    pass are pure overhead. The real fix is s_pad: when the plan supplies
-    it, placement runs on the MXU one-hot scatter kernel instead of the
-    XLA scatter."""
+    formulation burned ~30-55 ms per op on them)."""
     c_rows, idx_sig_d = _numeric_sell_groups(
         a_flat, b_flat, keys_tbl, starts_sig, cnt_sig, ends_sig,
         list(groups), impl,
@@ -1025,14 +916,12 @@ def _numeric_stage(
     sig_tbl = jnp.take(
         keys_tbl, idx_sig_d, axis=0, mode="fill", fill_value=0,
     )                                               # (R, 8)
-    hi = sig_tbl[:, 2].astype(jnp.uint32)
-    lo = sig_tbl[:, 3].astype(jnp.uint32)
-    off = sig_tbl[:, 4]
-    if s_pad:
-        return _compress_rows_mxu(
-            c_rows, hi, lo, off, idx_sig_d < 2**30, nnz_pad, s_pad
-        )
-    return _compress_rows(c_rows, hi, lo, off, nnz_pad)
+    return _compress_rows(
+        c_rows,
+        sig_tbl[:, 2].astype(jnp.uint32),
+        sig_tbl[:, 3].astype(jnp.uint32),
+        sig_tbl[:, 4], nnz_pad,
+    )
 
 
 def _numeric_from_plan(p: _ProductPlan, impl: str) -> jax.Array:
@@ -1052,7 +941,7 @@ def _numeric_from_plan(p: _ProductPlan, impl: str) -> jax.Array:
         return _numeric_stage(
             p.a_flat, p.b_flat, p.keys_tbl,
             p.starts_sig, p.cnt_sig, p.ends_sig,
-            tuple(p.groups), impl, p.nnz_pad, p.s_pad,
+            tuple(p.groups), impl, p.nnz_pad,
         )
     return jnp.zeros((p.nnz_pad,), jnp.float32)
 
