@@ -27,8 +27,16 @@ import sys
 import numpy as np
 
 
+_T0 = None
+
+
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    import time as _t
+
+    global _T0
+    if _T0 is None:
+        _T0 = _t.monotonic()
+    print(f"[{_t.monotonic()-_T0:7.1f}s]", *a, file=sys.stderr, flush=True)
 
 
 def make_random(n, density, seed=0):
@@ -169,6 +177,10 @@ def main():
         "rand64k": lambda: _from(make_random(65536, 3e-4, seed=1), 65536),
         # production-scale cases (~30M / ~21M nnz)
         "band2M": lambda: _from(make_banded(2_097_152, 16, seed=4), 2_097_152),
+        # BORDER-scale SpGEMM case: wider band -> ~4M tasks, past the
+        # reference's 2.73M bb_segsort crossover (ref :53)
+        "border4M": lambda: _from(make_banded(2_097_152, 24, seed=10),
+                                  2_097_152),
         "stencil2M": lambda: _from(make_stencil(2_097_152, 8, seed=6),
                                    2_097_152),
         "blockdense1M": lambda: _from(
@@ -257,7 +269,7 @@ def main():
             ):
                 headline_gnnz, headline_frac = gnnz, frac
 
-        if name == "stencil2M" and time_left() > 120:
+        if name in ("stencil2M", "band2M") and time_left() > 260:
             # bonus line: bf16 tier storage (the reference's half-input
             # regime; fp32 accumulation) — roughly halves HBM traffic
             try:
@@ -283,7 +295,7 @@ def main():
     from bmsparse_tpu.ops import spgemm as sg
     from bmsparse_tpu.ops.product import prepare_product
 
-    def bench_spgemm(name, m, impl="pallas"):
+    def bench_spgemm(name, m, impl="pallas", e2e_only=False):
         if time_left() < 120:
             log(f"SpGEMM {name}: skipped (bench budget)")
             return
@@ -312,6 +324,11 @@ def main():
             nbc, cnnz = int(c.nb), c.nnz
             log(f"SpGEMM {name}: tasks={ntasks} Cblocks={nbc} Cnnz={cnnz} "
                 f"e2e={t_e2e*1e3:.1f}ms (warm one-shot incl host syncs)")
+            detail["spgemm"].setdefault(name, {}).update(
+                tasks=ntasks, c_blocks=nbc, c_nnz=cnnz,
+                e2e_seconds=t_e2e)
+            if e2e_only:
+                return
 
             def sym_step(hi, mm, bb):
                 m2 = dataclasses.replace(mm, bmp_hi=hi)
@@ -405,18 +422,20 @@ def main():
     # priority schedule: the headline case first, the BORDER-scale SpGEMM
     # (>2.73M tasks — the reference's bb_segsort regime,
     # ref src/bmSparse_SPGEMM.cu:53) high, tiny/adversarial last
-    _build_est = {"band2M": 75, "stencil2M": 55, "blockdense1M": 20}
+    _build_est = {"band2M": 75, "stencil2M": 55, "blockdense1M": 20,
+                  "border4M": 80}
     for kind, name in [
         ("spmv", "stencil2M"),
         ("spgemm", "band256k"),
-        ("spgemm", "band2M"),
+        ("spgemm-e2e", "border4M"),
         ("spmv", "band2M"),
         ("spmv", "blockdense1M"),
-        ("spgemm", "blockdense64k"),
-        ("spmv", "blockdense64k"),
+        ("spgemm", "band2M"),
         ("spmv", "fem1M"),
         ("spmv", "road1M"),
         ("spmv", "web256k"),
+        ("spgemm", "blockdense64k"),
+        ("spmv", "blockdense64k"),
         ("spgemm", "fem1M"),
         ("spmv", "band256k"),
         ("spmv", "Ragusa16"),
@@ -427,7 +446,7 @@ def main():
         # budget check BEFORE the (possibly minute-scale) matrix build —
         # round 1 built band2M for 69 s and then skipped every benchmark
         # on it
-        need = (90 if kind == "spmv" else 150) + (
+        need = (90 if kind == "spmv" else 120) + (
             0 if name in _cache else _build_est.get(name, 5)
         )
         if time_left() < need:
@@ -441,7 +460,7 @@ def main():
         if kind == "spmv":
             bench_spmv(name, m)
         else:
-            bench_spgemm(name, m)
+            bench_spgemm(name, m, e2e_only=(kind == "spgemm-e2e"))
 
     with open("bench_detail.json", "w") as f:
         json.dump(detail, f, indent=2)

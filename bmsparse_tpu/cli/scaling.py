@@ -113,9 +113,7 @@ def build_report(m, sizes, v, mesh_fn, iters=5, run_sim=True) -> dict:
         }
         report["spmv"].append(row)
 
-    # SpGEMM (A . A^T-layout): selective-exchange payloads per mesh size
-    from ..format.convert import transpose as _  # noqa: F401  (API parity)
-
+    # SpGEMM (A . A, B in transposed layout): selective-exchange payloads
     try:
         from .. import coo_to_bmsparse
         from ..parallel.product import (

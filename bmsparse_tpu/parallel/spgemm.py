@@ -3,13 +3,16 @@
 Dependency structure (SURVEY.md §5): a shard owning A's block rows needs
 B's block row k wherever its A blocks have block-column k — exactly the
 ``pos[col]`` lookup of the task creator (ref: src/bmSparse_SPGEMM.cu:134).
-For general sparsity a shard may need any B row, so round 1 exchanges B
-with one fused all-gather over ICI (per-shard value offsets are rebased by
-``shard * nnz_max`` before the gather so the concatenated value array stays
-addressable; the T1 row-start table is built with a positional segment_min,
-which tolerates the padding blocks interleaved between shard slices).
-A selective all-to-all of only the needed rows, overlapped with local
-block products via a ppermute ring, is the planned refinement.
+For general/unknown structure a shard may need any B row, so this module
+exchanges B with one fused all-gather over ICI (per-shard value offsets
+are rebased by ``shard * nnz_max`` before the gather so the concatenated
+value array stays addressable; the T1 row-start table is built with a
+positional segment_min, which tolerates the padding blocks interleaved
+between shard slices), then runs the jit-safe padded SpGEMM per shard.
+This is the structure-oblivious path (and what dryrun compile checks
+exercise); `parallel/product.py` is the fast path — host-planned
+per-shard task-SELL numeric with a SELECTIVE all_to_all of exactly the
+needed B tiles.
 
 C inherits A's partition: every shard computes its own C rows with the
 single-chip padded SpGEMM, keys stay globally sorted, and reassembly is a
