@@ -203,12 +203,16 @@ def main():
         rows, cols, vals, shape = rcvs
         return coo_to_bmsparse(rows, cols, vals, shape, backend="host")
 
+    # bump when any generator's parameters change — the disk cache keys
+    # on (name, version), so stale matrices cannot masquerade as new defs
+    _SUITE_VERSION = 2
+
     def get_matrix(name):
         if name not in _cache:
             t0 = time.monotonic()
             # disk cache: the big host-converter builds cost 30-70 s each
             # and are deterministic; cache the container arrays
-            ck = f"scratch/bench_mat_{name}.npz"
+            ck = f"scratch/bench_mat_v{_SUITE_VERSION}_{name}.npz"
             if os.path.exists(ck):
                 from bmsparse_tpu import load_bmsparse
 

@@ -41,3 +41,9 @@ def prepare_product(*args, **kwargs):
     from .ops.product import prepare_product as _pp
 
     return _pp(*args, **kwargs)
+
+
+def prepare(*args, **kwargs):
+    from .ops.plan import prepare as _prepare
+
+    return _prepare(*args, **kwargs)

@@ -74,12 +74,13 @@ def build_report(m, sizes, v, mesh_fn, iters=5, run_sim=True) -> dict:
     for d in sizes:
         row = {"d": d}
         t_comp = t_compute_1 / d
-        halo = None
+        # plan-time halo analysis works for ANY d (host-side); only the
+        # simulator execution needs real (virtual) devices
+        sm = partition(m, d, align=16)
+        sp = prepare_sharded(sm)
+        halo = sp.halo
         if run_sim and d <= len(jax.devices()):
             mesh = mesh_fn(d)
-            sm = partition(m, d, align=16)
-            sp = prepare_sharded(sm)
-            halo = sp.halo
             nbs = np.asarray(sm.nb)
             t, u = time_op(
                 lambda: sharded_spmv_prepared(sp, v, mesh),
@@ -130,39 +131,41 @@ def build_report(m, sizes, v, mesh_fn, iters=5, run_sim=True) -> dict:
             if d < 2:
                 continue
             row = {"d": d}
-            if d <= len(jax.devices()):
-                sa = partition(m, d, align=16)
-                sb = partition(bt, d, align=16)
-                spp = prepare_sharded_product(sa, sb)
-                sel = spp.comm_bytes_selective
-                allg = spp.comm_bytes_allgather
-                t_comm_sel = sel / d / (ICI_RING_GBPS * 1e9)
-                # numeric compute floor: two operand tiles per task
-                ntasks = sum(
-                    int(np.prod(np.asarray(t.shape[1:]))) for t in spp.tas
-                )
-                t_comp = ntasks * 2 * 256 / d / (HBM_GBPS * 1e9)
-                row["selective_bytes_total"] = int(sel)
-                row["allgather_bytes_total"] = int(allg)
-                row["selective_fraction"] = sel / max(allg, 1)
-                row["projected"] = {
-                    "compute_s": t_comp,
-                    "ici_s": t_comm_sel,
-                    "efficiency_serialized":
-                        t_comp / (t_comp + t_comm_sel),
-                    "efficiency_overlapped":
-                        t_comp / max(t_comp, t_comm_sel),
+            # planning is host-side: plans/byte counts work for ANY d;
+            # only the simulator execution needs real (virtual) devices
+            sa = partition(m, d, align=16)
+            sb = partition(bt, d, align=16)
+            spp = prepare_sharded_product(sa, sb)
+            sel = spp.comm_bytes_selective
+            allg = spp.comm_bytes_allgather
+            t_comm_sel = sel / d / (ICI_RING_GBPS * 1e9)
+            # numeric compute floor: two operand tiles per slot, per chip
+            # (spp.tas shapes are already per-shard: (d, cap, K, 128))
+            slots_per_shard = sum(
+                int(np.prod(np.asarray(t.shape[1:]))) for t in spp.tas
+            )
+            t_comp = slots_per_shard * 2 * 256 / (HBM_GBPS * 1e9)
+            row["selective_bytes_total"] = int(sel)
+            row["allgather_bytes_total"] = int(allg)
+            row["selective_fraction"] = sel / max(allg, 1)
+            row["projected"] = {
+                "compute_s": t_comp,
+                "ici_s": t_comm_sel,
+                "efficiency_serialized":
+                    t_comp / (t_comp + t_comm_sel),
+                "efficiency_overlapped":
+                    t_comp / max(t_comp, t_comm_sel),
+            }
+            if run_sim and d <= len(jax.devices()):
+                c = sharded_multiply(spp, mesh_fn(d))
+                cb = c.to_bmsparse()
+                refm = (m.to_scipy() @ m.to_scipy()).tocsr()
+                diff = abs(cb.to_scipy().tocsr() - refm)
+                dmax = diff.max() if diff.nnz else 0.0
+                err = float(dmax / max(abs(refm).max(), 1e-30))
+                row["measured_sim"] = {
+                    "ok": bool(err < 1e-3), "max_rel_err": err,
                 }
-                if run_sim:
-                    c = sharded_multiply(spp, mesh_fn(d))
-                    cb = c.to_bmsparse()
-                    refm = (m.to_scipy() @ m.to_scipy()).tocsr()
-                    diff = abs(cb.to_scipy().tocsr() - refm)
-                    dmax = diff.max() if diff.nnz else 0.0
-                    err = float(dmax / max(abs(refm).max(), 1e-30))
-                    row["measured_sim"] = {
-                        "ok": bool(err < 1e-3), "max_rel_err": err,
-                    }
             report["spgemm"].append(row)
     except Exception as e:  # pragma: no cover
         report["spgemm_error"] = repr(e)

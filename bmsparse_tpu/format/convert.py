@@ -178,8 +178,14 @@ def coo_to_bmsparse(
     """Convert COO triplets to BmSparse.
 
     Args:
-      rows, cols: int32 arrays of coordinates (0-based, no duplicates —
-        same precondition as the reference converter).
+      rows, cols: int32 arrays of coordinates (0-based). Duplicate
+        coordinates: the HOST backend sums them (scipy/cusp COO assembly
+        semantics); the DEVICE backend requires duplicate-free input —
+        the same precondition as the reference converter (its
+        reduce_by_key would mis-merge them too, ref:
+        src/bmSpMatrix.cu:176-216) — because the jitted one-hot
+        segment-sum would corrupt the bitmap. Deduplicate (e.g. via
+        scipy .sum_duplicates()) before using backend="device".
       vals: value array (any float dtype).
       shape: (num_rows, num_cols).
       transposed: store intra-block column-major (for SpGEMM's B operand).

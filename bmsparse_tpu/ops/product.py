@@ -45,7 +45,10 @@ class PreparedProduct:
 
         a/b: optional operands with updated VALUES but identical structure
         (same blocks/bitmaps); BmSparse or Prepared. Defaults to the
-        operands captured at prepare time.
+        operands captured at prepare time. Block count, nnz, and shape
+        are verified; feeding an operand that matches those but has
+        different bitmaps is undetectable without a device sync and is
+        the caller's contract violation (results would be wrong).
         """
         from .plan import Prepared
 
@@ -53,11 +56,19 @@ class PreparedProduct:
         a_flat = p.a_flat
         b_flat = p.b_flat
         if a is not None:
+            am = a.m if isinstance(a, Prepared) else a
+            if (int(am.nb) != int(p.a.nb) or am.nnz != p.a.nnz
+                    or am.shape != p.a.shape):
+                raise ValueError("operand A structure changed; re-prepare")
             a_flat = (a.dense_flat if isinstance(a, Prepared)
                       else a.decompress_blocks_flat())
             if a_flat.shape != p.a_flat.shape:
                 raise ValueError("operand A structure changed; re-prepare")
         if b is not None:
+            bm_ = b.m if isinstance(b, Prepared) else b
+            if (int(bm_.nb) != int(p.b.nb) or bm_.nnz != p.b.nnz
+                    or bm_.shape != p.b.shape):
+                raise ValueError("operand B structure changed; re-prepare")
             b_flat = (b.dense_flat if isinstance(b, Prepared)
                       else b.decompress_blocks_flat())
             if b_flat.shape != p.b_flat.shape:

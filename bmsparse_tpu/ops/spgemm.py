@@ -357,9 +357,6 @@ def _bucket_k(k: int) -> int:
     return k
 
 
-_K_BUCKET_ARR = None  # lazily built jnp constant of _K_BUCKETS
-
-
 @partial(jax.jit, static_argnames=("nbc_pad",))
 def _plan_sell_device(
     c_seg: jax.Array, num_alive: jax.Array, nbc: jax.Array, nbc_pad: int
@@ -389,9 +386,6 @@ def _plan_sell_device(
     chunk) and ends_nat the natural-order end positions (out-of-range for
     padding blocks).
     """
-    global _K_BUCKET_ARR
-    if _K_BUCKET_ARR is None:
-        _K_BUCKET_ARR = tuple(_K_BUCKETS)
     nt = c_seg.shape[0]
     t = jnp.arange(nt, dtype=jnp.int32)
     alive = t < num_alive
@@ -417,11 +411,15 @@ def _plan_sell_device(
     )
     cnt_sig = -negc
     k_raw = jnp.max(cnt_sig.reshape(nbc_pad // 128, 128), axis=1)
-    buckets = jnp.asarray(_K_BUCKET_ARR, jnp.int32)
+    buckets = jnp.asarray(_K_BUCKETS, jnp.int32)
     bi = jnp.searchsorted(buckets, k_raw)
+    bucketed = jnp.take(buckets, jnp.clip(bi, 0, len(_K_BUCKETS) - 1))
+    # depths beyond the largest bucket keep their exact value (the host
+    # planner's _bucket_k fell through to k; clipping would silently
+    # truncate such blocks' task lists)
     k_chunk = jnp.where(
         k_raw > 0,
-        jnp.take(buckets, jnp.clip(bi, 0, len(_K_BUCKETS) - 1)),
+        jnp.where(k_raw > buckets[-1], k_raw, bucketed),
         0,
     ).astype(jnp.int32)
     ends_nat = jnp.where(validb, ends, big)

@@ -29,6 +29,7 @@ same contract as ops.product.PreparedProduct.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 
 import jax
@@ -74,6 +75,8 @@ class ShardedProduct:
 
     ks: tuple = dataclasses.field(metadata=dict(static=True), default=())
     caps: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    impl: str = dataclasses.field(metadata=dict(static=True),
+                                  default="sell")
     nnz_pad: int = dataclasses.field(metadata=dict(static=True), default=1)
     nbc_pad: int = dataclasses.field(metadata=dict(static=True), default=1)
     max_send: int = dataclasses.field(metadata=dict(static=True), default=1)
@@ -101,7 +104,8 @@ def prepare_sharded_product(
     Runs the single-chip product planner per shard (A_s x B, global
     structure), remaps each shard's B-side slot indices onto its needed
     set, unifies the static layout across shards, and builds the
-    selective exchange plan.
+    selective exchange plan. impl selects the per-shard product kernel
+    ("sell" | "pallas"), stored on the plan for sharded_multiply.
     """
     d = sa.num_shards
     if sb.num_shards != d:
@@ -275,7 +279,7 @@ def prepare_sharded_product(
         cbrow=jnp.asarray(cbrow), cbcol=jnp.asarray(cbcol),
         c_hi=jnp.asarray(c_hi), c_lo=jnp.asarray(c_lo),
         c_offsets=jnp.asarray(c_off), c_nb=jnp.asarray(c_nb),
-        ks=tuple(ks_all), caps=tuple(caps),
+        ks=tuple(ks_all), caps=tuple(caps), impl=impl,
         nnz_pad=nnz_pad, nbc_pad=nbc_pad, max_send=max_send,
         num_rows=sa.num_rows, num_cols=sb.num_cols,
         rows_per_shard=sa.rows_per_shard,
@@ -325,24 +329,29 @@ def _local_multiply(
     return cv[None]
 
 
-def sharded_multiply(spp: ShardedProduct, mesh) -> ShardedBmSparse:
-    """Run the planned product over the mesh; returns C sharded like A."""
+@functools.lru_cache(maxsize=64)
+def _multiply_fn(nnz_pad: int, impl: str, n_operands: int, mesh):
+    """One jitted shard_map program per (static layout, mesh) — rebuilding
+    jit(shard_map(...)) per call would retrace/recompile every multiply
+    (40-90 s per compile on the tunneled runtime)."""
     from jax.sharding import PartitionSpec as P
 
+    return jax.jit(shard_map(
+        partial(_local_multiply, nnz_pad=nnz_pad, impl=impl),
+        mesh=mesh,
+        in_specs=(P(AXIS),) * n_operands,
+        out_specs=P(AXIS),
+    ))
+
+
+def sharded_multiply(spp: ShardedProduct, mesh) -> ShardedBmSparse:
+    """Run the planned product over the mesh; returns C sharded like A."""
     operands = [
         spp.a_flat, spp.b_flat, spp.send_idx,
         spp.sig_hi, spp.sig_lo, spp.sig_off,
         *spp.tas, *spp.tbs,
     ]
-    fn = jax.jit(shard_map(
-        partial(
-            _local_multiply,
-            nnz_pad=spp.nnz_pad, impl="sell",
-        ),
-        mesh=mesh,
-        in_specs=(P(AXIS),) * len(operands),
-        out_specs=P(AXIS),
-    ))
+    fn = _multiply_fn(spp.nnz_pad, spp.impl, len(operands), mesh)
     values = fn(*operands)
     return ShardedBmSparse(
         brow=spp.cbrow, bcol=spp.cbcol,
