@@ -94,6 +94,8 @@ def main():
     import signal
     import time
 
+    os.environ.setdefault("RUST_LOG", "error")
+
     import jax
     import jax.numpy as jnp
 
@@ -273,7 +275,7 @@ def main():
             ):
                 headline_gnnz, headline_frac = gnnz, frac
 
-        if name in ("stencil2M", "band2M") and time_left() > 260:
+        if name in ("stencil2M", "band2M") and time_left() > 420:
             # bonus line: bf16 tier storage (the reference's half-input
             # regime; fp32 accumulation) — roughly halves HBM traffic
             try:
@@ -468,6 +470,18 @@ def main():
 
     with open("bench_detail.json", "w") as f:
         json.dump(detail, f, indent=2)
+
+    log("==== recorded cases ====")
+    for k, v in detail["spmv"].items():
+        frac = v.get("roofline_frac")
+        log(f"  spmv {k}: {v.get('gnnz_s', 0):.2f} Gnnz/s"
+            + (f" ({frac*100:.1f}% roofline)" if frac is not None else ""))
+    for k, v in detail["spgemm"].items():
+        log(f"  spgemm {k}: tasks={v.get('tasks')} "
+            f"e2e={v.get('e2e_seconds', 0)*1e3:.0f}ms "
+            f"sym={v.get('sym_seconds', 0)*1e3:.1f}ms "
+            f"plan={v.get('plan_seconds', 0)*1e3:.1f}ms "
+            f"num={v.get('num_seconds', 0)*1e3:.1f}ms")
 
     print(json.dumps({
         "metric": "bmsparse_spmv_throughput",
