@@ -38,10 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compat flag (reference kernel variant)")
     p.add_argument("verbose", nargs="?", type=int, default=0,
                    help="1 = per-phase timings (reference VERBOSE)")
-    p.add_argument("--impl", default=None, choices=["xla", "sell"],
-                   help="numeric kernel implementation (both use the "
-                        "task-SELL fast path; 'xla' is the name parity "
-                        "with the reference's tc_version flag)")
+    p.add_argument("--impl", default=None,
+                   choices=["xla", "sell", "pallas"],
+                   help="numeric kernel: 'sell'/'pallas' run the "
+                        "task-SELL fast path (XLA VPU / fused Pallas "
+                        "kernel), 'xla' the jit-safe chunked variant. "
+                        "Default maps the positional tc_version like the "
+                        "reference: 1-4 (tensor-core variants) -> "
+                        "'pallas', 5 (scalar) -> 'sell'")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32", "float64"],
                    help="input value dtype (reference uses half)")
@@ -74,10 +78,13 @@ def main(argv=None) -> int:
 
     # warm-up compile (the reference warms the CUDA context via cudaFree(0),
     # ref :1233; on TPU the analogous one-time cost is jit compilation)
-    c = sync(spgemm(a, b, impl=args.impl, verbose=False))
+    impl = args.impl or (
+        "pallas" if args.tc_version in (1, 2, 3, 4) else "sell"
+    )
+    c = sync(spgemm(a, b, impl=impl, verbose=False))
 
     t0 = time.perf_counter()
-    c = sync(spgemm(a, b, impl=args.impl, verbose=bool(args.verbose)))
+    c = sync(spgemm(a, b, impl=impl, verbose=bool(args.verbose)))
     exec_us = (time.perf_counter() - t0) * 1e6
     print(f"bmSparse execution: {exec_us:.0f}")
     print(f"C blocks: {int(c.nb)}")
