@@ -67,9 +67,14 @@ def build_report(m, sizes, v, mesh_fn, iters=5, run_sim=True) -> dict:
         "spgemm": [],
     }
 
-    # single-chip compute floor: one pass over the values (the measured
-    # single-chip roofline fractions in BENCH_*.json apply on top)
-    t_compute_1 = nnz * 4 / (HBM_GBPS * 1e9)
+    # single-chip compute floor: the same denominator as the single-chip
+    # roofline (values read + u written; utils/roofline.spmv_min_bytes) so
+    # the scaling projection and BENCH_*.json share one model
+    from ..utils import roofline as rl
+
+    t_compute_1 = rl.spmv_min_bytes(
+        nnz, int(m.nb), m.num_rows, m.num_cols
+    ) / (HBM_GBPS * 1e9)
 
     for d in sizes:
         row = {"d": d}

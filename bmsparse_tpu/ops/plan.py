@@ -305,3 +305,35 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
 
 def as_matrix(x) -> BmSparse:
     return x.m if isinstance(x, Prepared) else x
+
+
+# --------------------------------------------------------------------------
+# Per-container plan memoization: spmv(m, v, impl="pallas") on a raw
+# BmSparse builds the host-side plan; without a cache a caller looping
+# that form would silently pay the numpy plan build every iteration.
+# Keyed on container identity (a plan is value-bound anyway — rebuilding
+# a container with new values must produce a new plan); weakrefs keep the
+# cache from pinning dead matrices, and the id() is validated against the
+# live referent so a recycled id can never alias a dead entry.
+# --------------------------------------------------------------------------
+_PLAN_CACHE: dict = {}
+
+
+def prepare_cached(m: BmSparse) -> Prepared:
+    """prepare(m) with per-container-identity memoization (default args
+    only). Use prepare() directly for dtype/layout-customized plans."""
+    import weakref
+
+    if isinstance(m, Prepared):
+        return m
+    key = id(m)
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None and hit[0]() is m:
+        return hit[1]
+    p = prepare(m)
+    try:
+        ref = weakref.ref(m, lambda _r, k=key: _PLAN_CACHE.pop(k, None))
+    except TypeError:  # container not weakref-able: skip caching
+        return p
+    _PLAN_CACHE[key] = (ref, p)
+    return p

@@ -29,6 +29,31 @@ from ..utils.timing import PhaseTimer
 from . import spgemm as sg
 
 
+def _structure_fingerprint(m: BmSparse):
+    """Cheap bitmap hash for host-reachable containers, None otherwise.
+
+    Count checks (nb/nnz/shape) collide easily for same-density rebuilds;
+    the fingerprint catches a changed structure when comparing is free
+    (numpy-backed or CPU-resident arrays). Device-resident operands stay
+    unchecked — fetching bitmaps per call would cost a D->H sync, which
+    is exactly what the cached product exists to avoid."""
+    import numpy as np
+
+    def host_ok(x):
+        if isinstance(x, np.ndarray):
+            return True
+        try:
+            return all(d.platform == "cpu" for d in x.devices())
+        except Exception:
+            return False
+
+    if not (host_ok(m.bmp_hi) and host_ok(m.bmp_lo)):
+        return None
+    hi = np.asarray(m.bmp_hi).tobytes()
+    lo = np.asarray(m.bmp_lo).tobytes()
+    return hash((hi, lo))
+
+
 class PreparedProduct:
     """A structure-frozen C = A @ B with a device-only numeric path."""
 
@@ -38,6 +63,8 @@ class PreparedProduct:
         self.shape = (plan.a.num_rows, plan.b.num_cols)
         self.num_c_blocks = plan.num_c_blocks
         self.num_c_nnz = plan.num_c_nnz
+        self._fp_a = _structure_fingerprint(plan.a)
+        self._fp_b = _structure_fingerprint(plan.b)
 
     def __call__(self, a=None, b=None) -> BmSparse:
         """Multiply with the cached structure — one jitted dispatch
@@ -46,9 +73,12 @@ class PreparedProduct:
         a/b: optional operands with updated VALUES but identical structure
         (same blocks/bitmaps); BmSparse or Prepared. Defaults to the
         operands captured at prepare time. Block count, nnz, and shape
-        are verified; feeding an operand that matches those but has
-        different bitmaps is undetectable without a device sync and is
-        the caller's contract violation (results would be wrong).
+        are always verified; when both the prepare-time and the updated
+        operand are host-reachable, a bitmap fingerprint is compared
+        too (counts collide easily for same-density rebuilds). A
+        device-resident operand with matching counts but different
+        bitmaps stays the caller's contract violation — checking it
+        would cost the D->H sync this cache exists to avoid.
         """
         from .plan import Prepared
 
@@ -60,6 +90,11 @@ class PreparedProduct:
             if (int(am.nb) != int(p.a.nb) or am.nnz != p.a.nnz
                     or am.shape != p.a.shape):
                 raise ValueError("operand A structure changed; re-prepare")
+            if self._fp_a is not None:
+                fp = _structure_fingerprint(am)
+                if fp is not None and fp != self._fp_a:
+                    raise ValueError(
+                        "operand A bitmaps changed; re-prepare")
             a_flat = (a.dense_flat if isinstance(a, Prepared)
                       else a.decompress_blocks_flat())
             if a_flat.shape != p.a_flat.shape:
@@ -69,6 +104,11 @@ class PreparedProduct:
             if (int(bm_.nb) != int(p.b.nb) or bm_.nnz != p.b.nnz
                     or bm_.shape != p.b.shape):
                 raise ValueError("operand B structure changed; re-prepare")
+            if self._fp_b is not None:
+                fp = _structure_fingerprint(bm_)
+                if fp is not None and fp != self._fp_b:
+                    raise ValueError(
+                        "operand B bitmaps changed; re-prepare")
             b_flat = (b.dense_flat if isinstance(b, Prepared)
                       else b.decompress_blocks_flat())
             if b_flat.shape != p.b_flat.shape:

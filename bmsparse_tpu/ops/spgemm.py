@@ -718,16 +718,18 @@ def _numeric_xla(
 
 @partial(
     jax.jit,
-    static_argnames=("num_c_blocks", "num_c_nnz", "impl"),
+    static_argnames=("num_c_blocks", "num_c_nnz"),
 )
 def _numeric_and_compress(
     a_flat: jax.Array, b_flat: jax.Array,
     a_idx: jax.Array, b_idx: jax.Array, c_seg: jax.Array,
     c_hi: jax.Array, c_lo: jax.Array, c_offsets: jax.Array,
-    num_c_blocks: int, num_c_nnz: int, impl: str,
+    num_c_blocks: int, num_c_nnz: int,
 ):
-    if impl not in ("xla", "sell", "pallas"):
-        raise ValueError(f"unknown padded-path impl {impl!r}")
+    """Chunked-XLA numeric + bitmap compress — the ONLY numeric variant of
+    the fully-padded path (the task-SELL/pallas layouts need host-side
+    group statics, which a jit-traced static-bound path cannot build; use
+    spgemm()/prepare_product()/prepare_sharded_product for those)."""
     c_dense = _numeric_xla(
         a_flat, b_flat, a_idx, b_idx, c_seg, num_c_blocks
     )
@@ -933,7 +935,7 @@ def _numeric_from_plan(p: _ProductPlan, impl: str) -> jax.Array:
             p.c_seg[: p.num_alive],
             p.nat_tbl[:, 2].astype(jnp.uint32),
             p.nat_tbl[:, 3].astype(jnp.uint32), p.c_off,
-            p.nbc_pad, p.nnz_pad, "xla",
+            p.nbc_pad, p.nnz_pad,
         )
     if p.groups and p.num_c_blocks > 0:
         return _numeric_stage(
@@ -960,7 +962,7 @@ def _assemble_c(p: _ProductPlan, c_values: jax.Array) -> BmSparse:
 
 @partial(
     jax.jit,
-    static_argnames=("max_tasks", "max_c_blocks", "max_c_nnz", "impl"),
+    static_argnames=("max_tasks", "max_c_blocks", "max_c_nnz"),
 )
 def spgemm_padded(
     a: BmSparse,
@@ -968,13 +970,15 @@ def spgemm_padded(
     max_tasks: int,
     max_c_blocks: int | None = None,
     max_c_nnz: int | None = None,
-    impl: str = "xla",
 ) -> BmSparse:
     """Fully jit-compatible C = A @ B with static upper bounds.
 
     The result is padded: `C.nb` is the true block count; blocks past it
     have zero bitmaps. Used by the shard_map multi-chip path, where shapes
-    must be static per shard.
+    must be static per shard. Always runs the chunked-XLA numeric (see
+    _numeric_and_compress); the sell/pallas layouts require host-side
+    planning and are reached via spgemm() / prepare_product() /
+    prepare_sharded_product() instead.
     """
     max_c_blocks = max_c_blocks or max_tasks
     max_c_nnz = max_c_nnz or max_c_blocks * 64
@@ -993,7 +997,7 @@ def spgemm_padded(
         a.decompress_blocks_flat(), b.decompress_blocks_flat(),
         a_idx, b_idx, c_seg,
         c_hi[:k], c_lo[:k], c_off[:k],
-        k, max_c_nnz, impl,
+        k, max_c_nnz,
     )
     return BmSparse(
         brow=cbrow[:k], bcol=cbcol[:k],

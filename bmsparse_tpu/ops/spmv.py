@@ -287,8 +287,10 @@ def spmv(m, v: jax.Array, impl: str | None = None) -> jax.Array:
     TPU under auto — measured 1.3x over the XLA roll formulation). A raw
     BmSparse under auto runs the jit-safe _spmv_xla — it must NOT silently
     call prepare(), which is a host-side numpy plan build that breaks
-    under jit tracing and would rerun on every invocation; passing
-    impl="pallas" explicitly requests the one-time prepare().
+    under jit tracing; passing impl="pallas" explicitly requests the
+    tiered plan, built once per container and memoized on its identity
+    (ops.plan.prepare_cached), so looping spmv(m, v, impl="pallas") pays
+    the host-side plan build only on the first call.
     """
     from .plan import Prepared
 
@@ -304,9 +306,9 @@ def spmv(m, v: jax.Array, impl: str | None = None) -> jax.Array:
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         return _spmv_prepared(m, v, dia_impl=impl)
     if impl == "pallas":
-        from .plan import prepare
+        from .plan import prepare_cached
 
-        return _spmv_prepared(prepare(m), v, dia_impl="pallas")
+        return _spmv_prepared(prepare_cached(m), v, dia_impl="pallas")
     return _spmv_xla(m, v)
 
 

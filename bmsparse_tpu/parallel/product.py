@@ -329,19 +329,37 @@ def _local_multiply(
     return cv[None]
 
 
-@functools.lru_cache(maxsize=64)
-def _multiply_fn(nnz_pad: int, impl: str, n_operands: int, mesh):
-    """One jitted shard_map program per (static layout, mesh) — rebuilding
-    jit(shard_map(...)) per call would retrace/recompile every multiply
-    (40-90 s per compile on the tunneled runtime)."""
-    from jax.sharding import PartitionSpec as P
+# One jitted shard_map program per (static layout, mesh) — rebuilding
+# jit(shard_map(...)) per call would retrace/recompile every multiply
+# (40-90 s per compile on the tunneled runtime). The mesh is held WEAKLY
+# (a WeakKeyDictionary level) so a dropped mesh releases its programs;
+# within a mesh the key includes every static the program closes over.
+# Note jit still retains one compiled executable per distinct traced
+# shape set under each entry for the process lifetime — long-lived
+# sessions multiplying many distinct plans retain all their executables.
+_MULTIPLY_CACHE: "dict" = None
 
-    return jax.jit(shard_map(
-        partial(_local_multiply, nnz_pad=nnz_pad, impl=impl),
-        mesh=mesh,
-        in_specs=(P(AXIS),) * n_operands,
-        out_specs=P(AXIS),
-    ))
+
+def _multiply_fn(nnz_pad: int, impl: str, n_operands: int, mesh):
+    import weakref
+
+    global _MULTIPLY_CACHE
+    if _MULTIPLY_CACHE is None:
+        _MULTIPLY_CACHE = weakref.WeakKeyDictionary()
+    per_mesh = _MULTIPLY_CACHE.setdefault(mesh, {})
+    key = (nnz_pad, impl, n_operands)
+    fn = per_mesh.get(key)
+    if fn is None:
+        from jax.sharding import PartitionSpec as P
+
+        fn = jax.jit(shard_map(
+            partial(_local_multiply, nnz_pad=nnz_pad, impl=impl),
+            mesh=mesh,
+            in_specs=(P(AXIS),) * n_operands,
+            out_specs=P(AXIS),
+        ))
+        per_mesh[key] = fn
+    return fn
 
 
 def sharded_multiply(spp: ShardedProduct, mesh) -> ShardedBmSparse:

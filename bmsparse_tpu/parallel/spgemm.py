@@ -43,7 +43,7 @@ def _local_spgemm(
     b_brow, b_bcol, b_hi, b_lo, b_off, b_val, b_nb,
     *,
     a_meta: dict, b_meta: dict,
-    max_tasks: int, max_c_blocks: int, max_c_nnz: int, impl: str,
+    max_tasks: int, max_c_blocks: int, max_c_nnz: int,
 ):
     s = jax.lax.axis_index(AXIS)
 
@@ -74,7 +74,7 @@ def _local_spgemm(
     c = spgemm_padded(
         a_local, b_full,
         max_tasks=max_tasks, max_c_blocks=max_c_blocks,
-        max_c_nnz=max_c_nnz, impl=impl,
+        max_c_nnz=max_c_nnz,
     )
     return (
         c.brow[None], c.bcol[None], c.bmp_hi[None], c.bmp_lo[None],
@@ -89,12 +89,13 @@ def sharded_spgemm(
     max_tasks: int,
     max_c_blocks: int | None = None,
     max_c_nnz: int | None = None,
-    impl: str = "xla",
 ) -> ShardedBmSparse:
     """C = A @ B over the mesh; returns C sharded like A.
 
     `max_tasks` / `max_c_blocks` / `max_c_nnz` are per-shard static upper
-    bounds (use `estimate_bounds` for a safe choice).
+    bounds (use `estimate_bounds` for a safe choice). Runs the chunked-XLA
+    numeric (the only jit-safe variant); the task-SELL/pallas fast path
+    for sharded products is parallel/product.py.
     """
     d = mesh.devices.size
     if sa.num_shards != d or sb.num_shards != d:
@@ -115,7 +116,6 @@ def sharded_spgemm(
             max_tasks=max_tasks,
             max_c_blocks=max_c_blocks,
             max_c_nnz=max_c_nnz,
-            impl=impl,
         ),
         mesh=mesh,
         in_specs=(P(AXIS),) * 14,
