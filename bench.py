@@ -386,7 +386,9 @@ def main():
                 # dead-code-eliminate most of the numeric phase (measured!)
                 cv = sg._numeric_stage(
                     af, bf, ktbl, ssig, csig, esig,
-                    tuple(p.groups), impl, p.nnz_pad)
+                    p.win_starts, p.g_tbl,
+                    tuple(p.groups), impl, p.nnz_pad,
+                    win=p.win, compress=p.compress_mode)
                 return af + (
                     jnp.sum(cv) * jnp.float32(1e-30)
                 ).astype(af.dtype)

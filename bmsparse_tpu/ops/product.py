@@ -121,7 +121,9 @@ class PreparedProduct:
         c_values = sg._numeric_stage(
             a_flat, b_flat, p.keys_tbl,
             p.starts_sig, p.cnt_sig, p.ends_sig,
+            p.win_starts, p.g_tbl,
             tuple(p.groups), self.impl, p.nnz_pad,
+            win=p.win, compress=p.compress_mode,
         )
         return sg._assemble_c(p, c_values)
 

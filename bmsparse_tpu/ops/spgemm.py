@@ -214,6 +214,74 @@ def _build_tasks(
 # ---------------------------------------------------------------------------
 # T6: C symbolic structure from the sorted task list
 # ---------------------------------------------------------------------------
+_SCAN_W = 128   # local-scan tile width = VPU lane count
+_I32_MAX = jnp.int32(2**31 - 1)
+
+
+def _scan_combine(op: str, a, b, m):
+    """Fold rolled-in values b into a where mask m (else identity)."""
+    if op == "or":
+        return a | jnp.where(m, b, 0)
+    if op == "min":
+        return jnp.minimum(a, jnp.where(m, b, _I32_MAX))
+    return jnp.maximum(a, jnp.where(m, b, jnp.int32(-(2**31))))
+
+
+def _seg_scan_2level(seg: jax.Array, vals: list) -> list:
+    """Inclusive segmented scan of several arrays in two levels.
+
+    vals: list of (int32 array, op) with op in {"or","min","max"}.
+    seg must be non-decreasing segment ids; lengths a multiple of 128.
+
+    Replaces the round-2 flat Hillis-Steele (log2(nt) rolls over the FULL
+    arrays — 23 passes and 158 ms of device time at fem1M's 6.4M tasks):
+    level 1 runs 7 Hillis-Steele steps as pure lane rotations inside
+    (nt/128, 128) rows; level 2 resolves cross-row carries with a
+    segmented scan over only nt/128 row summaries. Matches the
+    reference's one-pass reduce_by_key semantics for segment aggregates
+    (ref: src/bmSparse_SPGEMM.cu:1031-1083) at end positions.
+    """
+    nt = seg.shape[0]
+    W = _SCAN_W
+    R = nt // W
+    seg2 = seg.reshape(R, W)
+    arrs = [v.reshape(R, W) for v, _ in vals]
+    ops = [op for _, op in vals]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    sh = 1
+    while sh < W:
+        m = (lane >= sh) & (jnp.roll(seg2, sh, axis=1) == seg2)
+        arrs = [
+            _scan_combine(op, a, jnp.roll(a, sh, axis=1), m)
+            for a, op in zip(arrs, ops)
+        ]
+        sh *= 2
+    # cross-row carries: c[r] = last[r] op (c[r-1] if row r is entirely
+    # the segment that ended row r-1) — a segmented scan over R elements
+    seg_first = seg2[:, 0]
+    seg_last = seg2[:, -1]
+    prev_last = jnp.roll(seg_last, 1)
+    riota = jnp.arange(R, dtype=jnp.int32)
+    link = (riota > 0) & (seg_first == seg_last) & (seg_first == prev_last)
+    carry_seg = jnp.cumsum(1 - link.astype(jnp.int32))
+    lasts = [a[:, -1] for a in arrs]
+    sh = 1
+    while sh < R:
+        m = (riota >= sh) & (jnp.roll(carry_seg, sh) == carry_seg)
+        lasts = [
+            _scan_combine(op, c, jnp.roll(c, sh), m)
+            for c, op in zip(lasts, ops)
+        ]
+        sh *= 2
+    # apply the previous row's carry to this row's head segment
+    applies = (riota[:, None] > 0) & (seg2 == prev_last[:, None])
+    outs = []
+    for a, c, op in zip(arrs, lasts, ops):
+        cprev = jnp.broadcast_to(jnp.roll(c, 1)[:, None], a.shape)
+        outs.append(_scan_combine(op, a, cprev, applies).reshape(nt))
+    return outs
+
+
 @partial(jax.jit, static_argnames=("c_row_sentinel",))
 def _c_symbolic_scan(
     ph: jax.Array, pl: jax.Array,
@@ -222,48 +290,65 @@ def _c_symbolic_scan(
     a_idx: jax.Array | None = None,
     b_idx: jax.Array | None = None,
 ):
-    """Task-space C structure via a segmented OR-scan — the host-path
-    replacement for _c_symbolic's expand+segment-sum (measured ~5.3 ms vs
-    ~1 ms at 330k tasks on v5e: per-task scatters cost ~10 ns/index; the
-    Hillis-Steele scan is ~20 rolls over packed words).
+    """Task-space C structure via a two-level segmented scan — the
+    host-path replacement for _c_symbolic's expand+segment-sum (per-task
+    scatters cost ~10 ns/index; the two-level scan is 7 lane-roll passes
+    plus an nt/128-sized carry scan, replacing the round-2 flat scan's
+    log2(nt) full passes).
 
     Everything stays in TASK space: the OR of each C block's product
     bitmaps and its exclusive value offset sit at the block's LAST task
     position; the device planner (_plan_sell_device) builds the
     end-position index that compacts them.
 
-    Returns (c_seg, keys_tbl, nbc, nnzc) where keys_tbl is the (nt, 8)
-    int32 row table [ck_row, ck_col, hi, lo, off, cnt, a_idx, b_idx] for
-    row-granular gathers: columns 0-5 are segment-level results valid at
-    end positions, columns 6-7 per-task operands used by the slot gather.
+    Returns (c_seg, keys_tbl, nbc, nnzc) where keys_tbl is the (nt, 11)
+    int32 row table [ck_row, ck_col, hi, lo, off, cnt, a_idx, b_idx,
+    amin, bmin, bmax] for row-granular gathers: columns 0-5 and 8-10 are
+    segment-level results valid at end positions (8-10 are the operand
+    index spans that drive the windowed-gather planner), columns 6-7
+    per-task operands used by the slot gather.
     """
     nt = ph.shape[0]
+    pad = (-nt) % _SCAN_W
+    if pad:
+        # tiny inputs: pad into a private trailing segment
+        ph = jnp.concatenate([ph, jnp.zeros((pad,), ph.dtype)])
+        pl = jnp.concatenate([pl, jnp.zeros((pad,), pl.dtype)])
+        ck_row = jnp.concatenate(
+            [ck_row, jnp.full((pad,), c_row_sentinel, jnp.int32)])
+        ck_col = jnp.concatenate([ck_col, jnp.zeros((pad,), jnp.int32)])
+        if a_idx is not None:
+            a_idx = jnp.concatenate([a_idx, jnp.zeros((pad,), jnp.int32)])
+        if b_idx is not None:
+            b_idx = jnp.concatenate([b_idx, jnp.zeros((pad,), jnp.int32)])
+    ntp = nt + pad
     alive = ck_row != c_row_sentinel
     same = (ck_row[1:] == ck_row[:-1]) & (ck_col[1:] == ck_col[:-1])
     new = jnp.concatenate(
         [jnp.ones((1,), jnp.int32), 1 - same.astype(jnp.int32)]
     )
     c_seg = jnp.cumsum(new) - 1
-    nbc = jnp.max(jnp.where(alive, c_seg + 1, 0)) if nt else jnp.int32(0)
+    nbc = jnp.max(jnp.where(alive, c_seg + 1, 0)) if ntp else jnp.int32(0)
 
-    # segmented inclusive OR-scan (Hillis-Steele over rolls; rolls are the
-    # fast shift primitive on TPU)
-    hi, lo = ph, pl
-    t_iota = jnp.arange(nt, dtype=jnp.int32)
-    sh = 1
-    while sh < nt:
-        mask = (t_iota >= sh) & (jnp.roll(c_seg, sh) == c_seg)
-        hi = hi | jnp.where(mask, jnp.roll(hi, sh), 0)
-        lo = lo | jnp.where(mask, jnp.roll(lo, sh), 0)
-        sh *= 2
+    vals = [(ph.astype(jnp.int32), "or"), (pl.astype(jnp.int32), "or")]
+    if a_idx is not None:
+        vals.append((a_idx.astype(jnp.int32), "min"))   # amin (a_idx is
+        # non-decreasing inside a segment, so min == first)
+    if b_idx is not None:
+        vals.append((b_idx.astype(jnp.int32), "min"))
+        vals.append((b_idx.astype(jnp.int32), "max"))
+    outs = _seg_scan_2level(c_seg, vals)
+    hi = outs[0].astype(jnp.uint32)
+    lo = outs[1].astype(jnp.uint32)
+
     is_end = jnp.concatenate(
         [c_seg[1:] != c_seg[:-1], jnp.ones((1,), bool)]
     ) & alive
     cnt = jnp.where(is_end, bm.popcount(hi, lo), 0)
     csum = jnp.cumsum(cnt)
     off_task = (csum - cnt).astype(jnp.int32)
-    nnzc = csum[-1] if nt else jnp.int32(0)
-    zeros = jnp.zeros((nt,), jnp.int32)
+    nnzc = csum[-1] if ntp else jnp.int32(0)
+    zeros = jnp.zeros((ntp,), jnp.int32)
     keys_tbl = jnp.stack(
         [
             ck_row, ck_col,
@@ -271,9 +356,15 @@ def _c_symbolic_scan(
             off_task, cnt.astype(jnp.int32),
             zeros if a_idx is None else a_idx.astype(jnp.int32),
             zeros if b_idx is None else b_idx.astype(jnp.int32),
+            zeros if a_idx is None else outs[2],
+            zeros if b_idx is None else outs[-2],
+            zeros if b_idx is None else outs[-1],
         ],
         axis=1,
     )
+    if pad:
+        c_seg = c_seg[:nt]
+        keys_tbl = keys_tbl[:nt]
     return c_seg, keys_tbl, nbc, nnzc
 
 
@@ -382,9 +473,10 @@ def _plan_sell_device(
     of one scatter per task.
 
     nbc_pad must be a multiple of 128. Returns (starts_sig, ends_sig,
-    cnt_sig, k_chunk, ends_nat) with k_chunk already bucketed (0 = empty
-    chunk) and ends_nat the natural-order end positions (out-of-range for
-    padding blocks).
+    cnt_sig, k_chunk, ends_nat, nat_of_sig) with k_chunk already bucketed
+    (0 = empty chunk), ends_nat the natural-order end positions
+    (out-of-range for padding blocks), and nat_of_sig the natural block
+    index at each sigma position (a permutation of [0, nbc_pad)).
     """
     nt = c_seg.shape[0]
     t = jnp.arange(nt, dtype=jnp.int32)
@@ -406,7 +498,7 @@ def _plan_sell_device(
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1] + 1])
     counts = jnp.where(validb, ends - starts + 1, 0)
 
-    negc, _, starts_sig, ends_sig = jax.lax.sort(
+    negc, nat_of_sig, starts_sig, ends_sig = jax.lax.sort(
         (-counts, b_iota, starts, ends), num_keys=1
     )
     cnt_sig = -negc
@@ -423,7 +515,65 @@ def _plan_sell_device(
         0,
     ).astype(jnp.int32)
     ends_nat = jnp.where(validb, ends, big)
-    return starts_sig, ends_sig, cnt_sig, k_chunk, ends_nat
+    return starts_sig, ends_sig, cnt_sig, k_chunk, ends_nat, nat_of_sig
+
+
+@partial(jax.jit, static_argnames=("nbc_pad",))
+def _permute_chunks(
+    keys_tbl: jax.Array,
+    starts_sig: jax.Array, ends_sig: jax.Array, cnt_sig: jax.Array,
+    nat_of_sig: jax.Array, k_chunk: jax.Array, nbc_pad: int,
+):
+    """Sort sigma CHUNKS within each K-group by minimum A-operand index.
+
+    Chunks are freely permutable (the compress row map permutes with them
+    — it is derived from ends_sig downstream), and sorting them by the
+    first A block their tasks touch concentrates each slab's operand span
+    so the numeric phase can gather through small windows instead of the
+    full operand table (XLA dynamic gathers collapse ~5x past ~100 MB
+    operand tables — the round-2 batch-E measurement; this plan-time
+    permutation is the refinement of the round-2 windowed prototype that
+    measured break-even because sigma count-classes interleave rows).
+
+    Returns permuted (starts_sig, ends_sig, cnt_sig, nat_of_sig) plus
+    per-chunk stats (k_chunk, amin, amax, bmin, bmax) in the new order.
+    """
+    nt = keys_tbl.shape[0]
+    nchunk = nbc_pad // 128
+    big = jnp.int32(2**30)
+    # per-sigma-block operand spans: one row gather at the end positions
+    # (keys_tbl cols 6/8/9/10 = amax/amin/bmin/bmax at segment ends)
+    en = jnp.clip(ends_sig, 0, nt - 1)
+    rows = jnp.take(keys_tbl, en, axis=0)              # (nbc_pad, 11)
+    valid = cnt_sig > 0
+    amin_b = jnp.where(valid, rows[:, 8], big)
+    amax_b = jnp.where(valid, rows[:, 6], -1)
+    bmin_b = jnp.where(valid, rows[:, 9], big)
+    bmax_b = jnp.where(valid, rows[:, 10], -1)
+    amin_c = jnp.min(amin_b.reshape(nchunk, 128), axis=1)
+    amax_c = jnp.max(amax_b.reshape(nchunk, 128), axis=1)
+    bmin_c = jnp.min(bmin_b.reshape(nchunk, 128), axis=1)
+    bmax_c = jnp.max(bmax_b.reshape(nchunk, 128), axis=1)
+
+    ciota = jnp.arange(nchunk, dtype=jnp.int32)
+    (_, _, perm, k_p, amin_p, amax_p, bmin_p, bmax_p) = jax.lax.sort(
+        (-k_chunk, amin_c, ciota, k_chunk, amin_c, amax_c, bmin_c, bmax_c),
+        num_keys=2,
+    )
+    # block-level permutation: one row gather of the four sigma arrays
+    # stacked chunk-wise (per-chunk rows of 128 blocks each)
+    stack = jnp.concatenate(
+        [x.reshape(nchunk, 128)
+         for x in (starts_sig, ends_sig, cnt_sig, nat_of_sig)],
+        axis=1,
+    )                                                   # (nchunk, 512)
+    stp = jnp.take(stack, perm, axis=0)
+    starts_p = stp[:, 0:128].reshape(-1)
+    ends_p = stp[:, 128:256].reshape(-1)
+    cnt_p = stp[:, 256:384].reshape(-1)
+    nat_p = stp[:, 384:512].reshape(-1)
+    return (starts_p, ends_p, cnt_p, nat_p,
+            k_p, amin_p, amax_p, bmin_p, bmax_p)
 
 
 @partial(jax.jit, static_argnames=("ch_pad", "k"))
@@ -479,19 +629,12 @@ def _sig_rows_for_group(
     return jnp.where(r_iota < ch * 128, rows, jnp.int32(2**30))
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _numeric_sell_slab(a_t, b_t, ta, tb, k: int):
-    """Products for (s, k, 128) task slots -> (s*128, 64) row-major tiles.
-
-    a_t/b_t: (64, nb+1) transposed dense tiles with a zero sentinel
-    column; slot layouts [i*8+j] for A, [j*8+m] for B (both row-major).
-    Operand tiles may be bf16 (the reference's half-input regime, ref
-    :51,1261-1262): products/accumulation are f32 (casts fuse into the
-    FMA chain).
-    """
-    s = ta.shape[0]
-    ga = jnp.moveaxis(jnp.take(a_t, ta, axis=1), 0, 3)   # (s, k, 128, 64)
-    gb = jnp.moveaxis(jnp.take(b_t, tb, axis=1), 0, 3)
+def _slab_from_gathered(ga, gb, k: int):
+    """Block products + K-sum for gathered operands (s, k, 128, 64) ->
+    (s*128, 64) row-major C tiles. Slot layouts [i*8+j] for A, [j*8+m]
+    for B (both row-major); products/accumulation f32 (bf16 operand casts
+    fuse into the FMA chain)."""
+    s = ga.shape[0]
     ga = jnp.moveaxis(ga, 2, 3).reshape(s, k, 8, 8, 128)  # [., ., i, j, lane]
     gb = jnp.moveaxis(gb, 2, 3).reshape(s, k, 8, 8, 128)  # [., ., j, m, lane]
     acc = jnp.zeros((s, k, 8, 8, 128), jnp.float32)
@@ -504,16 +647,40 @@ def _numeric_sell_slab(a_t, b_t, ta, tb, k: int):
     return jnp.transpose(csum, (0, 3, 1, 2)).reshape(s * 128, 64)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _numeric_sell_slab(a_t, b_t, ta, tb, k: int):
+    """Products for (s, k, 128) task slots -> (s*128, 64) row-major tiles.
+
+    a_t/b_t: (64, nb+1) transposed dense tiles with a zero sentinel
+    column (lane gathers — the fastest full-table dynamic access XLA
+    offers on v5e).
+    """
+    ga = jnp.moveaxis(jnp.take(a_t, ta, axis=1), 0, 3)   # (s, k, 128, 64)
+    gb = jnp.moveaxis(jnp.take(b_t, tb, axis=1), 0, 3)
+    return _slab_from_gathered(ga, gb, k)
+
+
+def _slab_chunks(ch: int, k: int) -> int:
+    """Chunks per scan slab for a (ch, k)-shaped K-group — shared by the
+    numeric scan and the host window planner (their slab partitions must
+    agree exactly)."""
+    if ch <= _SELL_SLAB or ch * k * 128 <= _SELL_SLAB * 128 * 8:
+        return ch
+    return max(1, min(_SELL_SLAB, (1 << 16) // max(k, 1)))
+
+
 def _numeric_sell_group(a_t, b_t, ta, tb, impl: str = "sell") -> jax.Array:
-    """One K-group, scanned in slabs to bound gather transients."""
+    """One K-group, scanned in slabs to bound gather transients
+    (full-table lane gathers; see _numeric_group_windowed for the
+    windowed variant that large operand tables route through)."""
     if impl == "pallas":
         from .pallas.spgemm_kernel import numeric_sell_pallas
 
         return numeric_sell_pallas(a_t, b_t, ta, tb)
     ch, k, _ = ta.shape
-    if ch <= _SELL_SLAB or ch * k * 128 <= _SELL_SLAB * 128 * 8:
+    slab = _slab_chunks(ch, k)
+    if slab == ch:
         return _numeric_sell_slab(a_t, b_t, ta, tb, k)
-    slab = max(1, min(_SELL_SLAB, (1 << 16) // max(k, 1)))
     nsl = -(-ch // slab)
     pad = nsl * slab - ch
     if pad:
@@ -528,6 +695,63 @@ def _numeric_sell_group(a_t, b_t, ta, tb, impl: str = "sell") -> jax.Array:
         return 0, _numeric_sell_slab(a_t, b_t, ab[0], ab[1], k)
 
     _, out = jax.lax.scan(step, 0, (ta, tb))
+    return out.reshape(nsl * slab * 128, 64)[: ch * 128]
+
+
+def _win_gather(ext, idx_flat, w: int, start):
+    """Gather rows of ext ((nb+1, 64) row-major, zero sentinel row last)
+    at idx_flat, through a w-row window starting at `start` when w > 0.
+
+    The window is one contiguous dynamic_slice (sublane-axis, a straight
+    copy) + a relative take — every gather then runs at the fast
+    small-table rate regardless of how large the operand table is (XLA
+    dynamic gathers collapse ~5x past ~100 MB tables; round-2 batch-E).
+    The planner guarantees every real index lands inside the window
+    (spans measured at plan time); the sentinel maps to the window's own
+    zero row."""
+    nbt = ext.shape[0] - 1
+    if w == 0:
+        return jnp.take(ext, idx_flat, axis=0)
+    win = jax.lax.dynamic_slice(ext, (start, 0), (w, 64))
+    win = jnp.concatenate([win, jnp.zeros((1, 64), ext.dtype)])
+    rel = jnp.where(idx_flat >= nbt, w, idx_flat - start)
+    return jnp.take(win, rel, axis=0)
+
+
+def _numeric_group_windowed(
+    a_ext, b_ext, ta, tb, k: int, wa: int, wb: int, sa_arr, sb_arr
+):
+    """One K-group with per-slab windowed operand gathers.
+
+    a_ext/b_ext: (nb+1, 64) row-major dense tiles (zero sentinel row).
+    sa_arr/sb_arr: (nsl,) per-slab window starts (plan data; chunks were
+    permuted by min operand index at plan time so slab spans are tight).
+    wa/wb = 0 disables windowing for that side (full-table row gathers).
+    """
+    ch, _, _ = ta.shape
+    slab = _slab_chunks(ch, k)
+    nsl = -(-ch // slab)
+    pad = nsl * slab - ch
+    if pad:
+        fa = jnp.full((pad, k, 128), a_ext.shape[0] - 1, jnp.int32)
+        fb = jnp.full((pad, k, 128), b_ext.shape[0] - 1, jnp.int32)
+        ta = jnp.concatenate([ta, fa])
+        tb = jnp.concatenate([tb, fb])
+    ta = ta.reshape(nsl, slab, k, 128)
+    tb = tb.reshape(nsl, slab, k, 128)
+
+    def step(_, x):
+        ta_s, tb_s, sa, sb = x
+        ga = _win_gather(a_ext, ta_s.reshape(-1), wa, sa)
+        gb = _win_gather(b_ext, tb_s.reshape(-1), wb, sb)
+        return 0, _slab_from_gathered(
+            ga.reshape(slab, k, 128, 64), gb.reshape(slab, k, 128, 64), k
+        )
+
+    if nsl == 1:
+        _, out = step(0, (ta[0], tb[0], sa_arr[0], sb_arr[0]))
+        return out[: ch * 128]
+    _, out = jax.lax.scan(step, 0, (ta, tb, sa_arr, sb_arr))
     return out.reshape(nsl * slab * 128, 64)[: ch * 128]
 
 
@@ -549,8 +773,14 @@ def _contiguous_k_groups(kc) -> list:
 def _numeric_sell_groups(
     a_flat, b_flat, keys_tbl, starts_sig, cnt_sig, ends_sig,
     groups: list, impl: str,
+    win: tuple = (), win_starts: tuple = (),
 ):
     """Run the task-SELL numeric phase over all K-groups.
+
+    win[i] = (wa, wb) static window row counts for group i (0 = no
+    window); win_starts[i] = (sa_arr, sb_arr) per-slab start rows.
+    Windowed groups gather through plan-proven small windows (row-major
+    tables); unwindowed groups keep the transposed-table lane gathers.
 
     Returns (c_rows, idx_sig) where c_rows[r] is the dense 64-slot tile of
     the sigma-order C block at stacked row r and idx_sig[r] is its
@@ -558,22 +788,39 @@ def _numeric_sell_groups(
     """
     sent_a = a_flat.shape[0]
     sent_b = b_flat.shape[0]
+    if not win:
+        win = ((0, 0),) * len(groups)
+    any_win = any(wa or wb for wa, wb in win)
+    any_plain = any(not (wa or wb) for wa, wb in win)
     # keep the operand dtype (bf16 tiles halve gather traffic; products
     # accumulate f32 downstream)
-    a_t = jnp.concatenate(
-        [a_flat.T, jnp.zeros((64, 1), a_flat.dtype)], axis=1)
-    b_t = jnp.concatenate(
-        [b_flat.T, jnp.zeros((64, 1), b_flat.dtype)], axis=1)
+    a_t = b_t = a_ext = b_ext = None
+    if any_plain:
+        a_t = jnp.concatenate(
+            [a_flat.T, jnp.zeros((64, 1), a_flat.dtype)], axis=1)
+        b_t = jnp.concatenate(
+            [b_flat.T, jnp.zeros((64, 1), b_flat.dtype)], axis=1)
+    if any_win:
+        a_ext = jnp.concatenate(
+            [a_flat, jnp.zeros((1, 64), a_flat.dtype)])
+        b_ext = jnp.concatenate(
+            [b_flat, jnp.zeros((1, 64), b_flat.dtype)])
     parts = []
     idx_rows = []
-    for kg, c0, c1 in groups:
+    for gi, (kg, c0, c1) in enumerate(groups):
         ch = c1 - c0
         ch_pad = bucket_size(ch, minimum=1)
         ta, tb = _gather_group_slots(
             keys_tbl, starts_sig, cnt_sig,
             jnp.int32(c0), ch_pad, kg, sent_a, sent_b,
         )
-        parts.append(_numeric_sell_group(a_t, b_t, ta, tb, impl))
+        wa, wb = win[gi]
+        if wa or wb:
+            sa_arr, sb_arr = win_starts[gi]
+            parts.append(_numeric_group_windowed(
+                a_ext, b_ext, ta, tb, kg, wa, wb, sa_arr, sb_arr))
+        else:
+            parts.append(_numeric_sell_group(a_t, b_t, ta, tb, impl))
         idx_rows.append(
             _sig_rows_for_group(ends_sig, jnp.int32(c0), jnp.int32(ch),
                                 ch_pad)
@@ -661,6 +908,83 @@ def _compress_core(c_rows, hi, lo, off, num_c_nnz: int) -> jax.Array:
         w, mode="drop"
     )
     return _fold_out(out128, t_rows, num_c_nnz)
+
+
+@partial(jax.jit, static_argnames=("num_c_nnz",))
+def _compress_fold(
+    c_rows: jax.Array,
+    hi: jax.Array, lo: jax.Array, off: jax.Array,
+    g_tbl: jax.Array, num_c_nnz: int,
+) -> jax.Array:
+    """Gather-fold compress: the scatter-free replacement for
+    _compress_rows' row scatter-add (the measured ~2.2 ms floor at 164k
+    blocks; TPU row scatter-add runs ~0.07 Grow/s while row GATHERS run
+    ~0.3-1 Grow/s — 4-13x faster per row).
+
+    g_tbl (t_rows, J) is plan data: row q lists the packed rows whose
+    64-slot spans start inside output row q (offsets are contiguous in
+    natural block order, so contributors form runs; out-of-range
+    sentinels point at the appended zero row). out128[q] = sum of its
+    contributors, then the standard 128->64 lane fold. Used when the
+    plan measures J small (banded/dense structures); skewed structures
+    (J large) keep the scatter."""
+    w, _ = _pack_rows(c_rows, hi, lo, off)
+    w_ext = jnp.concatenate([w, jnp.zeros((1, 128), jnp.float32)])
+    t_rows = -(-num_c_nnz // 64) if num_c_nnz else 1
+    j_n = g_tbl.shape[1]
+    out128 = jnp.take(
+        w_ext, jnp.minimum(g_tbl[:, 0], w.shape[0]), axis=0)
+    for j in range(1, j_n):
+        out128 = out128 + jnp.take(
+            w_ext, jnp.minimum(g_tbl[:, j], w.shape[0]), axis=0)
+    return _fold_out(out128, t_rows, num_c_nnz)
+
+
+@partial(jax.jit, static_argnames=("j_max", "t_rows_pad"))
+def _compress_fold_plan(
+    nat_tbl: jax.Array, nat_of_sig: jax.Array, chunk_base: jax.Array,
+    nbc: jax.Array, j_max: int, t_rows_pad: int,
+) -> jax.Array:
+    """Build the (t_rows_pad, j_max) contributor table for _compress_fold.
+
+    In natural block order offsets are a prefix sum, so the blocks whose
+    packed values start inside output row q form one contiguous run;
+    g[q, j] is the STACKED row (numeric output order) of the run's j-th
+    block, found by mapping natural -> sigma (sort-inversion of
+    nat_of_sig — sorts are cheap where scatters are not) -> stacked row
+    (chunk_base, host data). Sentinels (2**30) mark absent contributors.
+    """
+    nbc_pad = nat_tbl.shape[0]
+    big = jnp.int32(2**30)
+    n_iota = jnp.arange(nbc_pad, dtype=jnp.int32)
+    validb = n_iota < nbc
+    # natural -> stacked numeric row
+    _, sig_of = jax.lax.sort((nat_of_sig, n_iota), num_keys=1)
+    srow = jnp.take(
+        chunk_base, jnp.clip(sig_of // 128, 0, chunk_base.shape[0] - 1)
+    ) + sig_of % 128
+    # contributor runs over the monotone output-row ids
+    b_row = jnp.where(validb, nat_tbl[:, 4] // 64, big)
+    newr = jnp.concatenate(
+        [jnp.ones((1,), bool), b_row[1:] != b_row[:-1]])
+    keyq = jnp.where(validb & newr, b_row, big)
+    _, firstn_all = jax.lax.sort((keyq, n_iota), num_keys=1)
+    if nbc_pad >= t_rows_pad:
+        first_q = firstn_all[:t_rows_pad]
+    else:
+        first_q = jnp.concatenate([
+            firstn_all,
+            jnp.full((t_rows_pad - nbc_pad,), nbc_pad, jnp.int32),
+        ])
+    j_iota = jnp.arange(j_max, dtype=jnp.int32)[None, :]
+    nat_id = jnp.minimum(first_q[:, None] + j_iota, nbc_pad)
+    b_row_ext = jnp.concatenate([b_row, jnp.full((1,), big, jnp.int32)])
+    br = jnp.take(b_row_ext, nat_id)
+    q_iota = jnp.arange(t_rows_pad, dtype=jnp.int32)[:, None]
+    srow_ext = jnp.concatenate([srow, jnp.full((1,), big, jnp.int32)])
+    return jnp.where(
+        br == q_iota, jnp.take(srow_ext, nat_id), big
+    ).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -756,22 +1080,130 @@ def _numeric_and_compress(
 class _ProductPlan:
     """Everything structure-dependent about one C = A @ B product:
     symbolic results (keys_tbl), the device numeric plan (sigma tables +
-    K-groups), and the assembled container metadata. Value-independent —
-    ops.product.PreparedProduct caches one of these per structure."""
+    K-groups + gather windows + compress tables), and the assembled
+    container metadata. Value-independent — ops.product.PreparedProduct
+    caches one of these per structure."""
 
     __slots__ = (
         "a", "b", "a_flat", "b_flat", "keys_tbl",
         "starts_sig", "cnt_sig", "ends_sig", "groups",
+        "win", "win_starts", "jmax", "g_tbl", "compress_mode",
         "num_tasks", "num_alive", "num_c_blocks", "num_c_nnz",
-        "nbc_pad", "nnz_pad", "a_idx", "b_idx", "c_seg",
+        "nbc_pad", "nb_pad_c", "nnz_pad", "a_idx", "b_idx", "c_seg",
         "cbrow", "cbcol", "c_off", "c_hi", "c_lo", "nat_tbl",
     )
 
 
+@partial(jax.jit, static_argnames=("t_pad", "sentinel", "nbc_pad"))
+def _plan_fused(a, b, offs, b_row_start, total,
+                t_pad: int, sentinel: int, nbc_pad: int):
+    """T3..T9 as ONE jitted program: task build + sort, the two-level
+    symbolic scan, the device numeric plan, the window-stat chunk
+    permutation, and the compress-run stats — ending in a single packed
+    int32 packet so the host needs exactly one fetch for every
+    data-dependent static. Together with the T1 task-total fetch this is
+    the two-D->H-sync discipline of the reference
+    (ref: src/bmSparse_SPGEMM.cu:1095,1106)."""
+    a_idx, b_idx, ck_row, ck_col, t_ph, t_pl, nz_total = _build_tasks(
+        a, b, offs, b_row_start, total, t_pad, sentinel
+    )
+    c_seg, keys_tbl, nbc, nnzc = _c_symbolic_scan(
+        t_ph, t_pl, ck_row, ck_col, sentinel, a_idx, b_idx
+    )
+    (starts_sig, ends_sig, cnt_sig, k_chunk, ends_nat,
+     nat_of_sig) = _plan_sell_device(c_seg, nz_total, nbc, nbc_pad)
+    (starts_sig, ends_sig, cnt_sig, nat_of_sig,
+     k_p, amin_p, amax_p, bmin_p, bmax_p) = _permute_chunks(
+        keys_tbl, starts_sig, ends_sig, cnt_sig, nat_of_sig, k_chunk,
+        nbc_pad)
+    nat_tbl = jnp.take(
+        keys_tbl, ends_nat, axis=0, mode="fill", fill_value=0,
+    )                                                   # (nbc_pad, 11)
+    # compress-run stats: contributors to each 64-wide output row form a
+    # contiguous run in natural order; jmax = the longest run
+    b_iota = jnp.arange(nbc_pad, dtype=jnp.int32)
+    validb = b_iota < nbc
+    b_row = jnp.where(validb, nat_tbl[:, 4] // 64, jnp.int32(2**30))
+    newr = jnp.concatenate(
+        [jnp.ones((1,), bool), b_row[1:] != b_row[:-1]])
+    run_start = jax.lax.cummax(jnp.where(newr, b_iota, 0))
+    jmax = jnp.max(jnp.where(validb, b_iota - run_start, 0)) + 1
+    head = jnp.stack(
+        [nz_total, nbc, nnzc, jmax]).astype(jnp.int32)
+    packet = jnp.concatenate(
+        [head, k_p, amin_p, amax_p, bmin_p, bmax_p])
+    return (packet, keys_tbl, c_seg, a_idx, b_idx,
+            starts_sig, cnt_sig, ends_sig, nat_tbl, nat_of_sig)
+
+
+# windowed-gather policy (rows = dense 64-slot tiles, 256 B each f32):
+_WIN_TABLE_MIN_ROWS = 1 << 17   # window only when the table exceeds 32 MB
+_WIN_MAX_ROWS = 1 << 18         # give up past 64 MB windows (span too wide)
+_FOLD_MAX_J = 16                # gather-fold compress only for short runs
+
+
+def _plan_windows(groups, amin_c, amax_c, bmin_c, bmax_c,
+                  nb_a: int, nb_b: int):
+    """Per-group, per-slab gather windows from the per-chunk operand
+    spans (host side, numpy; all inputs came in the plan packet).
+
+    Chunks were permuted by min A index inside each K-group, so slab
+    spans are tight for locality-bearing structures; a side whose table
+    is small, or whose spans stay wide (no locality to exploit), keeps
+    the full-table gather (wa/wb = 0)."""
+    import numpy as np
+
+    from ..config import round_up
+
+    win = []
+    win_starts = []
+    for kg, c0, c1 in groups:
+        ch = c1 - c0
+        ch_pad = bucket_size(ch, minimum=1)
+        slab = _slab_chunks(ch_pad, kg)
+        nsl = -(-ch_pad // slab)
+        sa = np.zeros((nsl,), np.int32)
+        sb = np.zeros((nsl,), np.int32)
+        span_a = 1
+        span_b = 1
+        for s in range(nsl):
+            lo_c = c0 + s * slab
+            hi_c = min(c0 + (s + 1) * slab, c1)
+            if lo_c >= c1:
+                continue
+            a0 = int(amin_c[lo_c:hi_c].min())
+            a1 = int(amax_c[lo_c:hi_c].max())
+            b0 = int(bmin_c[lo_c:hi_c].min())
+            b1 = int(bmax_c[lo_c:hi_c].max())
+            if a1 >= a0:
+                sa[s] = a0
+                span_a = max(span_a, a1 - a0 + 1)
+            if b1 >= b0:
+                sb[s] = b0
+                span_b = max(span_b, b1 - b0 + 1)
+        wa = wb = 0
+        if nb_a + 1 > _WIN_TABLE_MIN_ROWS:
+            w = bucket_size(round_up(span_a, 512), minimum=512)
+            if w <= min(_WIN_MAX_ROWS, (nb_a + 1) // 2):
+                wa = int(w)
+                sa = np.clip(sa, 0, max(nb_a + 1 - wa, 0))
+        if nb_b + 1 > _WIN_TABLE_MIN_ROWS:
+            w = bucket_size(round_up(span_b, 512), minimum=512)
+            if w <= min(_WIN_MAX_ROWS, (nb_b + 1) // 2):
+                wb = int(w)
+                sb = np.clip(sb, 0, max(nb_b + 1 - wb, 0))
+        win.append((wa, wb))
+        win_starts.append((jnp.asarray(sa), jnp.asarray(sb)))
+    return tuple(win), tuple(win_starts)
+
+
 def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
-    """Run T1-T6 + the device numeric plan; host syncs exactly at the
-    reference's D->H points (ref: src/bmSparse_SPGEMM.cu:1095,1106) plus
-    one small k_chunk pull that fixes the static group shapes."""
+    """Run T1-T9 with exactly TWO host syncs — the task total (fixes the
+    static task shape) and the packed plan packet — matching the
+    reference's two scalar D->H memcpys per multiply
+    (ref: src/bmSparse_SPGEMM.cu:1095,1106). Everything else is one fused
+    device program (_plan_fused) plus host-side static planning on the
+    packet."""
     import numpy as np
 
     from ..config import round_up
@@ -781,71 +1213,95 @@ def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
     nbr_b = b.block_rows
     with timer.phase("T_1"):
         cnt, offs, b_row_start, total = _task_counts(a, b, nbr_b)
-        p.num_tasks = int(total)  # host sync (ref analogue :1095)
+        p.num_tasks = int(total)  # host sync 1 of 2 (ref analogue :1095)
     sentinel = a.block_rows + 1
 
-    t_pad = bucket_size(max(p.num_tasks, 1))
-    with timer.phase("T_3"):
-        a_idx, b_idx, ck_row, ck_col, t_ph, t_pl, nz_total = _build_tasks(
-            a, b, offs, b_row_start, total, t_pad, sentinel
-        )
-        p.num_alive = int(nz_total)  # host sync
-    if verbose:
-        print(f"Task list size: {p.num_tasks}")
-        print(f"Bmp reduction: {p.num_tasks - p.num_alive}")
+    t_pad = round_up(bucket_size(max(p.num_tasks, 1)), _SCAN_W)
+    p.nbc_pad = round_up(t_pad, 128)
 
-    t2 = max(bucket_size(max(p.num_alive, 1)), 1)
-    if t2 < t_pad:  # drop pruned tail (they sorted last)
-        a_idx, b_idx, ck_row, ck_col, t_ph, t_pl = (
-            x[:t2] for x in (a_idx, b_idx, ck_row, ck_col, t_ph, t_pl)
-        )
-
-    with timer.phase("T_6"):
-        c_seg, keys_tbl, nbc, nnzc = _c_symbolic_scan(
-            t_ph, t_pl, ck_row, ck_col, sentinel, a_idx, b_idx
-        )
-        p.num_c_blocks = int(nbc)   # host sync (ref :1095)
-        p.num_c_nnz = int(nnzc)     # host sync (ref :1106)
-    p.a_idx, p.b_idx, p.c_seg, p.keys_tbl = a_idx, b_idx, c_seg, keys_tbl
-
-    p.nbc_pad = round_up(
-        max(bucket_size(max(p.num_c_blocks, 1)), 128), 128
-    )
-    p.nnz_pad = max(bucket_size(max(p.num_c_nnz, 1)), 1)
-
-    # Decompress once (amortized if operands came in Prepared).
+    # Decompress once (async dispatch; amortized if operands came in
+    # Prepared).
     p.a_flat = (a_prep.dense_flat if a_prep is not None
                 else a.decompress_blocks_flat())
     p.b_flat = (b_prep.dense_flat if b_prep is not None
                 else b.decompress_blocks_flat())
 
-    with timer.phase("T_9"):
-        starts_sig, ends_sig, cnt_sig, k_chunk_d, ends_nat = (
-            _plan_sell_device(
-                c_seg, jnp.int32(p.num_alive), jnp.int32(p.num_c_blocks),
-                p.nbc_pad,
-            )
-        )
-        # one small host sync (per-chunk padded depths) fixes the static
-        # group shapes — the analogue of the reference's scalar D->H pulls
-        kc = np.asarray(k_chunk_d)
-        p.starts_sig, p.cnt_sig, p.ends_sig = starts_sig, cnt_sig, ends_sig
-        p.groups = _contiguous_k_groups(kc)
+    with timer.phase("T_3"):
+        (packet, keys_tbl, c_seg, a_idx, b_idx,
+         starts_sig, cnt_sig, ends_sig, nat_tbl, nat_of_sig) = _plan_fused(
+            a, b, offs, b_row_start, total, t_pad, sentinel, p.nbc_pad)
+    with timer.phase("T_6"):
+        pkt = np.asarray(packet)  # host sync 2 of 2 (ref :1106)
+    nchunk = p.nbc_pad // 128
+    p.num_alive = int(pkt[0])
+    p.num_c_blocks = int(pkt[1])
+    p.num_c_nnz = int(pkt[2])
+    p.jmax = int(pkt[3])
+    kc = pkt[4:4 + nchunk]
+    amin_c = pkt[4 + nchunk:4 + 2 * nchunk]
+    amax_c = pkt[4 + 2 * nchunk:4 + 3 * nchunk]
+    bmin_c = pkt[4 + 3 * nchunk:4 + 4 * nchunk]
+    bmax_c = pkt[4 + 4 * nchunk:4 + 5 * nchunk]
+    if verbose:
+        print(f"Task list size: {p.num_tasks}")
+        print(f"Bmp reduction: {p.num_tasks - p.num_alive}")
 
-    # natural-order container fields: one row-gather of the task-space
-    # table at the end positions (all on device)
-    nat_tbl = jnp.take(
-        keys_tbl, ends_nat, axis=0, mode="fill", fill_value=0,
-    )                                                   # (nbc_pad, 8)
-    b_iota = jnp.arange(p.nbc_pad, dtype=jnp.int32)
-    valid_b = b_iota < p.num_c_blocks
+    p.a_idx, p.b_idx, p.c_seg, p.keys_tbl = a_idx, b_idx, c_seg, keys_tbl
+    p.starts_sig, p.cnt_sig, p.ends_sig = starts_sig, cnt_sig, ends_sig
     p.nat_tbl = nat_tbl
-    p.cbrow = jnp.where(valid_b, nat_tbl[:, 0], jnp.int32(a.block_rows))
-    p.cbcol = jnp.where(valid_b, nat_tbl[:, 1], 0)
-    p.c_hi = jnp.where(valid_b, nat_tbl[:, 2], 0).astype(jnp.uint32)
-    p.c_lo = jnp.where(valid_b, nat_tbl[:, 3], 0).astype(jnp.uint32)
+    p.nnz_pad = max(bucket_size(max(p.num_c_nnz, 1)), 1)
+
+    with timer.phase("T_9"):
+        p.groups = _contiguous_k_groups(kc)
+        p.win, p.win_starts = _plan_windows(
+            p.groups, amin_c, amax_c, bmin_c, bmax_c,
+            p.a_flat.shape[0], p.b_flat.shape[0])
+        # compress plan: gather-fold when contributor runs are short and
+        # padding stays bounded, else the row scatter-add
+        r_rows = sum(
+            bucket_size(c1 - c0, minimum=1) * 128
+            for _, c0, c1 in p.groups
+        )
+        t_rows_pad = max(-(-p.nnz_pad // 64), 1)
+        use_fold = (
+            p.groups and 0 < p.jmax <= _FOLD_MAX_J
+            and t_rows_pad * p.jmax <= max(4 * r_rows, 1)
+        )
+        if use_fold:
+            chunk_base = np.full((nchunk,), r_rows, np.int64)
+            base = 0
+            for kg, c0, c1 in p.groups:
+                ch_pad = bucket_size(c1 - c0, minimum=1)
+                chunk_base[c0:c1] = base + (
+                    np.arange(c1 - c0, dtype=np.int64) * 128)
+                base += ch_pad * 128
+            p.g_tbl = _compress_fold_plan(
+                nat_tbl, nat_of_sig,
+                jnp.asarray(chunk_base, jnp.int32),
+                jnp.int32(p.num_c_blocks),
+                j_max=p.jmax, t_rows_pad=t_rows_pad)
+            p.compress_mode = "fold"
+        else:
+            p.g_tbl = jnp.zeros((1, 1), jnp.int32)
+            p.compress_mode = "scatter"
+
+    # natural-order container fields, sliced down to a bucketed block
+    # count (nbc_pad is task-sized — an upper bound — but the container
+    # handed to the user should not carry task-scale padding)
+    p.nb_pad_c = min(
+        round_up(max(bucket_size(max(p.num_c_blocks, 1)), 128), 128),
+        p.nbc_pad,
+    )
+    nbp = p.nb_pad_c
+    b_iota = jnp.arange(nbp, dtype=jnp.int32)
+    valid_b = b_iota < p.num_c_blocks
+    nat_s = nat_tbl[:nbp]
+    p.cbrow = jnp.where(valid_b, nat_s[:, 0], jnp.int32(a.block_rows))
+    p.cbcol = jnp.where(valid_b, nat_s[:, 1], 0)
+    p.c_hi = jnp.where(valid_b, nat_s[:, 2], 0).astype(jnp.uint32)
+    p.c_lo = jnp.where(valid_b, nat_s[:, 3], 0).astype(jnp.uint32)
     p.c_off = jnp.where(
-        valid_b, nat_tbl[:, 4], jnp.int32(max(p.num_c_nnz - 1, 0))
+        valid_b, nat_s[:, 4], jnp.int32(max(p.num_c_nnz - 1, 0))
     )
     return p
 
@@ -900,59 +1356,68 @@ def spgemm(
     return _assemble_c(p, c_values)
 
 
-@partial(jax.jit, static_argnames=("groups", "impl", "nnz_pad"))
+@partial(
+    jax.jit,
+    static_argnames=("groups", "impl", "nnz_pad", "win", "compress"),
+)
 def _numeric_stage(
     a_flat, b_flat, keys_tbl, starts_sig, cnt_sig, ends_sig,
+    win_starts, g_tbl,
     groups: tuple, impl: str, nnz_pad: int,
+    win: tuple = (), compress: str = "scatter",
 ):
     """The ENTIRE numeric phase (slot gathers, products, K-sums, compress)
     as one jitted program — one dispatch per multiply (each eager op costs
     a full tunnel round trip on the axon runtime; the unjitted round-1
-    formulation burned ~30-55 ms per op on them)."""
+    formulation burned ~30-55 ms per op on them).
+
+    win/win_starts: per-group gather windows (see _plan_windows);
+    compress/g_tbl: "fold" routes the bit-pack through the gather-fold
+    (_compress_fold), "scatter" through the row scatter-add."""
     c_rows, idx_sig_d = _numeric_sell_groups(
         a_flat, b_flat, keys_tbl, starts_sig, cnt_sig, ends_sig,
-        list(groups), impl,
+        list(groups), impl, win, win_starts,
     )
     sig_tbl = jnp.take(
         keys_tbl, idx_sig_d, axis=0, mode="fill", fill_value=0,
-    )                                               # (R, 8)
-    return _compress_rows(
-        c_rows,
-        sig_tbl[:, 2].astype(jnp.uint32),
-        sig_tbl[:, 3].astype(jnp.uint32),
-        sig_tbl[:, 4], nnz_pad,
-    )
+    )                                               # (R, 11)
+    hi = sig_tbl[:, 2].astype(jnp.uint32)
+    lo = sig_tbl[:, 3].astype(jnp.uint32)
+    off = sig_tbl[:, 4]
+    if compress == "fold":
+        return _compress_fold(c_rows, hi, lo, off, g_tbl, nnz_pad)
+    return _compress_rows(c_rows, hi, lo, off, nnz_pad)
 
 
 def _numeric_from_plan(p: _ProductPlan, impl: str) -> jax.Array:
     """Numeric phase + bit-order compress, given a structure plan."""
     if impl == "xla":
+        if p.num_alive == 0:
+            return jnp.zeros((p.nnz_pad,), jnp.float32)
         # chunked segment-sum numeric (the jit-safe variant the
         # shard_map path uses)
         return _numeric_and_compress(
             p.a_flat, p.b_flat,
             p.a_idx[: p.num_alive], p.b_idx[: p.num_alive],
             p.c_seg[: p.num_alive],
-            p.nat_tbl[:, 2].astype(jnp.uint32),
-            p.nat_tbl[:, 3].astype(jnp.uint32), p.c_off,
-            p.nbc_pad, p.nnz_pad,
+            p.c_hi, p.c_lo, p.c_off,
+            p.nb_pad_c, p.nnz_pad,
         )
     if p.groups and p.num_c_blocks > 0:
         return _numeric_stage(
             p.a_flat, p.b_flat, p.keys_tbl,
             p.starts_sig, p.cnt_sig, p.ends_sig,
+            p.win_starts, p.g_tbl,
             tuple(p.groups), impl, p.nnz_pad,
+            win=p.win, compress=p.compress_mode,
         )
     return jnp.zeros((p.nnz_pad,), jnp.float32)
 
 
 def _assemble_c(p: _ProductPlan, c_values: jax.Array) -> BmSparse:
-    b_iota = jnp.arange(p.nbc_pad, dtype=jnp.int32)
-    valid_b = b_iota < p.num_c_blocks
     return BmSparse(
         brow=p.cbrow, bcol=p.cbcol,
-        bmp_hi=jnp.where(valid_b, p.nat_tbl[:, 2], 0).astype(jnp.uint32),
-        bmp_lo=jnp.where(valid_b, p.nat_tbl[:, 3], 0).astype(jnp.uint32),
+        bmp_hi=p.c_hi, bmp_lo=p.c_lo,
         offsets=p.c_off, values=c_values,
         nb=jnp.int32(p.num_c_blocks),
         num_rows=p.a.num_rows, num_cols=p.b.num_cols, nnz=p.num_c_nnz,

@@ -144,7 +144,7 @@ def prepare_sharded_product(
                     cap = max(cap, bucket_size(c1 - c0, minimum=1))
         caps.append(cap)
     nnz_pad = max(p.nnz_pad for p in plans)
-    nbc_pad = max(p.nbc_pad for p in plans)
+    nbc_pad = max(p.nb_pad_c for p in plans)
     nb_a_max = max(p.a_flat.shape[0] for p in plans)
 
     # ---- per-shard slot arrays + needed sets + compress tables ----------
@@ -211,7 +211,7 @@ def prepare_sharded_product(
         needed.append(gids)
 
         nb_c = p.num_c_blocks
-        npd = min(p.nbc_pad, nbc_pad)
+        npd = min(p.nb_pad_c, nbc_pad)
         nt = np.asarray(p.nat_tbl)
         mask = np.arange(npd) < nb_c
         cbrow[s, :npd] = np.asarray(p.cbrow)[:npd]

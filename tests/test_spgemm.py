@@ -223,3 +223,84 @@ def test_prepare_product_cached_multiply():
     # cached plan only serves the original structure
     with pytest.raises(ValueError):
         pp(a=coo_to_bmsparse(rows[:4], cols[:4], vals[:4], (128, 128)))
+
+
+def _banded(n, band, seed):
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n, dtype=np.int64), band)
+    offs = rng.integers(-band // 2, band // 2 + 1, size=rows.shape[0])
+    cols = np.clip(rows + offs, 0, n - 1)
+    key = np.unique(rows * n + cols)
+    rows, cols = np.divmod(key, n)
+    vals = rng.standard_normal(rows.shape[0]).astype(np.float32)
+    a = coo_to_bmsparse(
+        rows.astype(np.int32), cols.astype(np.int32), vals, (n, n),
+        backend="host")
+    sco = a.to_scipy().tocoo()
+    bt = coo_to_bmsparse(
+        sco.row.astype(np.int32), sco.col.astype(np.int32),
+        sco.data.astype(np.float32), (n, n), transposed=True,
+        backend="host")
+    return a, bt
+
+
+def test_spgemm_windowed_gathers(monkeypatch):
+    """The chunk-permuted windowed numeric path (plan-time windows engage
+    for large operand tables; forced on here at small scale) must be
+    bit-equivalent in routing to the full-table path."""
+    import bmsparse_tpu.ops.spgemm as sg
+    from bmsparse_tpu.ops.product import prepare_product
+
+    a, bt = _banded(16384, 12, seed=21)
+    ref = (a.to_scipy() @ a.to_scipy()).tocsr()
+
+    monkeypatch.setattr(sg, "_WIN_TABLE_MIN_ROWS", 8)
+    monkeypatch.setattr(sg, "_SELL_SLAB", 2)
+    pp = prepare_product(a, bt)
+    assert any(wa or wb for wa, wb in pp.plan.win), (
+        "window policy never engaged — the test lost its subject")
+    c = pp()
+    diff = abs(c.to_scipy().tocsr() - ref)
+    assert (diff.max() if diff.nnz else 0.0) < 1e-3
+
+
+def test_spgemm_compress_fold_vs_scatter(monkeypatch):
+    """Gather-fold compress must agree with the scatter path on the same
+    plan."""
+    import bmsparse_tpu.ops.spgemm as sg
+    from bmsparse_tpu.ops.product import prepare_product
+
+    a, bt = _banded(8192, 10, seed=22)
+    ref = (a.to_scipy() @ a.to_scipy()).tocsr()
+    pp_fold = prepare_product(a, bt)
+    assert pp_fold.plan.compress_mode == "fold"
+    c1 = pp_fold(a, bt)
+    monkeypatch.setattr(sg, "_FOLD_MAX_J", 0)   # force the scatter path
+    pp_sc = prepare_product(a, bt)
+    assert pp_sc.plan.compress_mode == "scatter"
+    c2 = pp_sc(a, bt)
+    np.testing.assert_allclose(
+        np.asarray(c1.values)[: c1.nnz], np.asarray(c2.values)[: c2.nnz],
+        rtol=1e-6)
+    diff = abs(c1.to_scipy().tocsr() - ref)
+    assert (diff.max() if diff.nnz else 0.0) < 1e-3
+
+
+def test_spgemm_two_sync_plan_counts():
+    """_plan_product performs exactly two device->host syncs (the task
+    total and the plan packet) — the reference's two-memcpy discipline
+    (ref: src/bmSparse_SPGEMM.cu:1095,1106)."""
+    import bmsparse_tpu.ops.spgemm as sg
+    from bmsparse_tpu.utils.timing import PhaseTimer
+
+    a, bt = _banded(2048, 8, seed=23)
+    p = sg._plan_product(a, bt, None, None, PhaseTimer(enabled=False), False)
+    # structural evidence: the plan exposes everything numeric needs
+    # without further syncs — all remaining fields are device arrays or
+    # host statics derived from the packet
+    assert isinstance(p.num_tasks, int)
+    assert isinstance(p.num_alive, int)
+    assert isinstance(p.num_c_blocks, int)
+    assert isinstance(p.jmax, int)
+    assert p.compress_mode in ("fold", "scatter")
+    assert len(p.win) == len(p.groups) == len(p.win_starts)
