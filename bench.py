@@ -280,7 +280,7 @@ def main():
             ):
                 headline_gnnz, headline_frac = gnnz, frac
 
-        if name in ("stencil2M", "band2M") and time_left() > 420:
+        if name in ("stencil2M", "band2M") and time_left() > 150:
             # bonus line: bf16 tier storage (the reference's half-input
             # regime; fp32 accumulation) — roughly halves HBM traffic
             try:
@@ -325,19 +325,25 @@ def main():
             t_pad = bucket_size(max(ntasks, 1))
             sentinel = m.block_rows + 1
 
-            # warm one-shot (compiles every stage), then timed one-shot
-            c = sg.spgemm(m, bt, impl=impl)
-            jax.block_until_ready(c.values)
-            th0 = time.monotonic()
-            c = sg.spgemm(m, bt, impl=impl)
-            jax.block_until_ready(c.values)
-            t_e2e = time.monotonic() - th0
-            nbc, cnnz = int(c.nb), c.nnz
-            log(f"SpGEMM {name}: tasks={ntasks} Cblocks={nbc} Cnnz={cnnz} "
-                f"e2e={t_e2e*1e3:.1f}ms (warm one-shot incl host syncs)")
-            detail["spgemm"].setdefault(name, {}).update(
-                tasks=ntasks, c_blocks=nbc, c_nnz=cnnz,
-                e2e_seconds=t_e2e)
+            # warm one-shot (compiles every stage), then timed one-shot;
+            # skipped under tight budget so the cheaper phase chains
+            # below still record (the e2e costs two full spgemm walls
+            # plus their compiles)
+            t_e2e = None
+            if e2e_only or time_left() > 240:
+                c = sg.spgemm(m, bt, impl=impl)
+                jax.block_until_ready(c.values)
+                th0 = time.monotonic()
+                c = sg.spgemm(m, bt, impl=impl)
+                jax.block_until_ready(c.values)
+                t_e2e = time.monotonic() - th0
+                nbc, cnnz = int(c.nb), c.nnz
+                log(f"SpGEMM {name}: tasks={ntasks} Cblocks={nbc} "
+                    f"Cnnz={cnnz} e2e={t_e2e*1e3:.1f}ms "
+                    f"(warm one-shot incl host syncs)")
+                detail["spgemm"].setdefault(name, {}).update(
+                    tasks=ntasks, c_blocks=nbc, c_nnz=cnnz,
+                    e2e_seconds=t_e2e)
             if e2e_only:
                 return
 
@@ -366,26 +372,30 @@ def main():
             pp = prepare_product(m, bt, impl=impl)
             t_prep = time.monotonic() - th0
             p = pp.plan
+            nbc, cnnz = p.num_c_blocks, p.num_c_nnz
             nbc_pad = p.nbc_pad
 
             def plan_step(cs):
+                import jax as _jax
                 outs = sg._plan_sell_device(
                     cs, jnp.int32(p.num_alive), jnp.int32(p.num_c_blocks),
-                    nbc_pad)
-                dep = sum(jnp.sum(o).astype(jnp.int32) for o in outs)
+                    nbc_pad, p.keys_tbl)
+                dep = sum(jnp.sum(o).astype(jnp.int32)
+                          for o in _jax.tree_util.tree_leaves(outs))
                 return cs ^ (dep >> 30)
 
             t_plan = time_chain(plan_step, p.c_seg, iters=10)
 
             ks = tuple(kg for kg, _, _ in p.groups)
 
-            def num_step(af, bf, ktbl, ssig, csig, esig):
+            def num_step(af, bf):
                 # af is the loop carry, so the whole stage depends on it
                 # (no hoisting); the return folds the FULL cv back into
                 # the carry — a single-element dependence lets XLA
                 # dead-code-eliminate most of the numeric phase (measured!)
                 cv = sg._numeric_stage(
-                    af, bf, ktbl, ssig, csig, esig,
+                    af, bf, p.tas, p.tbs,
+                    p.sig_st[0], p.sig_st[1], p.sig_st[2],
                     p.win_starts, p.g_tbl,
                     tuple(p.groups), impl, p.nnz_pad,
                     win=p.win, compress=p.compress_mode)
@@ -397,56 +407,58 @@ def main():
                 log(f"SpGEMM {name}: sym={t_sym*1e3:.2f}ms, num skipped "
                     "(bench budget)")
                 return
-            t_num = time_chain(
-                num_step, p.a_flat, iters=10,
-                args=(p.b_flat, p.keys_tbl, p.starts_sig, p.cnt_sig,
-                      p.ends_sig))
+            t_num = time_chain(num_step, p.a_flat, iters=10,
+                               args=(p.b_flat,))
             t_dev = t_sym + t_plan + t_num
             gnnz = cnnz / t_dev / 1e9
             min_bytes = rl.spgemm_min_bytes(
                 m.nnz, int(m.nb), bt.nnz, int(bt.nb), ntasks, cnnz, nbc)
             num_roof = min_bytes / bw / 1e9   # seconds at HBM speed
             num_frac = num_roof / max(t_num, 1e-12)
+            nwin = sum(1 for wa, wb in p.win if wa or wb)
             log(f"SpGEMM {name} [{impl}]: sym={t_sym*1e3:.2f}ms "
                 f"plan={t_plan*1e3:.2f}ms num={t_num*1e3:.2f}ms "
-                f"ks={ks} {gnnz:.3f} Gnnz(C)/s "
+                f"ks={ks} compress={p.compress_mode} "
+                f"win={nwin}/{len(p.win)} {gnnz:.3f} Gnnz(C)/s "
                 f"(num phase {num_frac*100:.1f}% of roofline)")
             detail["spgemm"][name] = dict(
                 tasks=ntasks, c_blocks=nbc, c_nnz=cnnz, impl=impl,
                 e2e_seconds=t_e2e, prepare_product_seconds=t_prep,
                 sym_seconds=t_sym, plan_seconds=t_plan,
                 num_seconds=t_num, gnnz_s=gnnz,
-                num_roofline_frac=num_frac)
+                num_roofline_frac=num_frac,
+                compress_mode=p.compress_mode, jmax=p.jmax,
+                windowed_groups=nwin, total_groups=len(p.win))
 
             # bf16 operand tiles (the reference's half-input regime:
             # half traffic in the gather-dominated numeric phase)
             if time_left() > 150:
                 af16 = p.a_flat.astype(jnp.bfloat16)
                 bf16 = p.b_flat.astype(jnp.bfloat16)
-                t16 = time_chain(
-                    num_step, af16, iters=10,
-                    args=(bf16, p.keys_tbl, p.starts_sig, p.cnt_sig,
-                          p.ends_sig))
+                t16 = time_chain(num_step, af16, iters=10,
+                                 args=(bf16,))
                 log(f"SpGEMM {name} [bf16 tiles]: num={t16*1e3:.2f}ms")
                 detail["spgemm"][name]["num_bf16_seconds"] = t16
         except Exception as e:
             log(f"SpGEMM {name} failed: {e}")
 
-    # priority schedule: the headline case first, the BORDER-scale SpGEMM
-    # (>2.73M tasks — the reference's bb_segsort regime,
-    # ref src/bmSparse_SPGEMM.cu:53) high, tiny/adversarial last
+    # priority schedule (round-3 reorder, VERDICT r2 #9): cheap
+    # high-value phase chains FIRST so the driver-captured artifact
+    # records >=6 cases inside its budget — band2M SpMV (f32+bf16) and a
+    # >2M-task SpGEMM phase chain before the minute-scale border4M e2e;
+    # tiny/adversarial cases last
     _build_est = {"band2M": 75, "stencil2M": 55, "blockdense1M": 20,
                   "border4M": 80}
     for kind, name in [
         ("spmv", "stencil2M"),
-        ("spgemm", "band256k"),
-        ("spgemm-e2e", "border4M"),
         ("spmv", "band2M"),
+        ("spgemm", "band256k"),
         ("spmv", "blockdense1M"),
-        ("spgemm", "band2M"),
         ("spmv", "fem1M"),
+        ("spgemm", "band2M"),
         ("spmv", "road1M"),
         ("spmv", "web256k"),
+        ("spgemm-e2e", "border4M"),
         ("spgemm", "blockdense64k"),
         ("spmv", "blockdense64k"),
         ("spgemm", "fem1M"),

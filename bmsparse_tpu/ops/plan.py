@@ -86,6 +86,10 @@ class Prepared:
     # rows with no SELL blocks point past the end (taken with fill=0).
     out_gather: jax.Array | None = None   # (block_rows,) int32
     sell_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # v access scheme for the SELL tier ("lane" | "wide8"; see
+    # ops/spmv.py:sell_apply) — chosen at prepare time.
+    sell_gather: str = dataclasses.field(
+        metadata=dict(static=True), default="lane")
 
     def __getattr__(self, name):
         return getattr(object.__getattribute__(self, "m"), name)
@@ -300,6 +304,11 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
         sell_dense=tuple(sell_dense), sell_bcol=tuple(sell_bcol),
         sell_ks=tuple(sell_ks),
         out_gather=out_gather, sell_rows=sell_rows,
+        # wide8 coarsens the dominant per-slot v gather 8x (one index
+        # per 8 block columns + a fused sublane selection); the lane
+        # scheme only wins when slots are very few relative to the
+        # selection's extra VPU passes — keep it for tiny SELL tiers
+        sell_gather=("wide8" if sell_rows >= 1024 else "lane"),
     )
 
 

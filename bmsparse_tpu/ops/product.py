@@ -119,8 +119,8 @@ class PreparedProduct:
                 p, jnp.zeros((p.nnz_pad,), jnp.float32)
             )
         c_values = sg._numeric_stage(
-            a_flat, b_flat, p.keys_tbl,
-            p.starts_sig, p.cnt_sig, p.ends_sig,
+            a_flat, b_flat, p.tas, p.tbs,
+            p.sig_st[0], p.sig_st[1], p.sig_st[2],
             p.win_starts, p.g_tbl,
             tuple(p.groups), self.impl, p.nnz_pad,
             win=p.win, compress=p.compress_mode,

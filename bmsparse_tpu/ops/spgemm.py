@@ -450,33 +450,37 @@ def _bucket_k(k: int) -> int:
 
 @partial(jax.jit, static_argnames=("nbc_pad",))
 def _plan_sell_device(
-    c_seg: jax.Array, num_alive: jax.Array, nbc: jax.Array, nbc_pad: int
+    c_seg: jax.Array, num_alive: jax.Array, nbc: jax.Array, nbc_pad: int,
+    keys_tbl: jax.Array | None = None,
 ):
     """Device-side numeric plan (replaces the round-1 host-numpy planner,
     which cost 815 ms against ~15 ms of device work on band256k).
 
-    Everything is sort/cumsum arithmetic — no per-task scatters:
+    Everything is sort/cumsum arithmetic — CARRYING sorts, never
+    gathers: at multi-million-block scale the per-block tables exceed
+    the ~100 MB boundary past which XLA dynamic gathers collapse 5x
+    (round-2 batch-E; a first round-3 formulation that gathered
+    keys_tbl rows at end positions measured 200 ms of plan time at
+    band2M — the collapse inside the planner itself). Steps:
 
-      1. each C block's LAST task position ("end") is extracted with one
-         2-array lax.sort (end-flagged tasks keyed by block ordinal sort
-         to the front) — sorts are cheap on TPU, scatters are not
-         (measured: 0.6 ms lex sort of 4x330k vs ~2 ms for a 300k-index
-         scatter on v5e);
+      1. each C block's LAST task position ("end") is extracted with ONE
+         lax.sort keyed on the end-flagged segment id that CARRIES the
+         per-task scan columns (bitmaps, offsets, keys, operand spans) —
+         the sorted prefix IS the natural-order block table;
       2. per-block task counts/starts are differences of ends;
-      3. the SELL-sigma permutation is a second lax.sort by descending
-         count that CARRIES starts/ends, so no gather is ever needed;
-      4. per-chunk padded depths come from a free (nbc/128, 128) reshape.
+      3. ONE second sort keyed (bucketed count desc, amin asc, ordinal)
+         produces the SELL-sigma order AND the in-K-group
+         window-locality permutation together, again carrying the
+         per-block columns (sigma compress tables come out for free).
+         Block-granular: sigma count classes restart natural order at
+         every class boundary, so any chunk-level permutation leaves
+         full-table spans in the straddling chunk (measured on band2M).
 
-    The task->slot mapping is then *gather-formulated*: slot (chunk, k,
-    lane) of sigma block q reads task starts_sig[q] + k when k <
-    cnt_sig[q] (see _gather_group_slots) — one row-gather per slot instead
-    of one scatter per task.
-
-    nbc_pad must be a multiple of 128. Returns (starts_sig, ends_sig,
-    cnt_sig, k_chunk, ends_nat, nat_of_sig) with k_chunk already bucketed
-    (0 = empty chunk), ends_nat the natural-order end positions
-    (out-of-range for padding blocks), and nat_of_sig the natural block
-    index at each sigma position (a permutation of [0, nbc_pad)).
+    nbc_pad must be a multiple of 128; keys_tbl is the (nt, 11) scan
+    table. Returns (starts_sig, ends_sig, cnt_sig, nat_of_sig, k_chunk,
+    stats, nat_cols, sig_cols): stats = per-chunk (amin, amax, bmin,
+    bmax); nat_cols = natural-order (ck_row, ck_col, hi, lo, off);
+    sig_cols = sigma-order (hi, lo, off) for the compress tables.
     """
     nt = c_seg.shape[0]
     t = jnp.arange(nt, dtype=jnp.int32)
@@ -486,94 +490,70 @@ def _plan_sell_device(
     )
     big = jnp.int32(2**30)
     key = jnp.where(is_end, c_seg, big)
-    _, ends_all = jax.lax.sort((key, t), num_keys=1)
-    if nt >= nbc_pad:
-        ends = ends_all[:nbc_pad]
-    else:
-        ends = jnp.concatenate(
-            [ends_all, jnp.zeros((nbc_pad - nt,), jnp.int32)]
-        )
+    carry_cols = [keys_tbl[:, i] for i in (0, 1, 2, 3, 4, 6, 8, 9, 10)]
+    sorted_all = jax.lax.sort((key, t, *carry_cols), num_keys=1)
+    ends_all = sorted_all[1]
+    nat_all = sorted_all[2:]
+
+    def fit(x):
+        if nt >= nbc_pad:
+            return x[:nbc_pad]
+        return jnp.concatenate(
+            [x, jnp.zeros((nbc_pad - nt,), jnp.int32)])
+
+    ends = fit(ends_all)
+    (nat_ckr, nat_ckc, nat_hi, nat_lo, nat_off,
+     nat_amax, nat_amin, nat_bmin, nat_bmax) = (fit(x) for x in nat_all)
     b_iota = jnp.arange(nbc_pad, dtype=jnp.int32)
     validb = b_iota < nbc
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1] + 1])
     counts = jnp.where(validb, ends - starts + 1, 0)
 
-    negc, nat_of_sig, starts_sig, ends_sig = jax.lax.sort(
-        (-counts, b_iota, starts, ends), num_keys=1
-    )
-    cnt_sig = -negc
-    k_raw = jnp.max(cnt_sig.reshape(nbc_pad // 128, 128), axis=1)
+    # per-block bucketed depth (bucket is monotone, so chunk-max of
+    # per-block buckets == bucket of chunk-max counts — identical K
+    # padding to the round-2 per-chunk bucketing)
     buckets = jnp.asarray(_K_BUCKETS, jnp.int32)
-    bi = jnp.searchsorted(buckets, k_raw)
-    bucketed = jnp.take(buckets, jnp.clip(bi, 0, len(_K_BUCKETS) - 1))
-    # depths beyond the largest bucket keep their exact value (the host
-    # planner's _bucket_k fell through to k; clipping would silently
-    # truncate such blocks' task lists)
+    bi = jnp.searchsorted(buckets, counts)
+    cb = jnp.take(buckets, jnp.clip(bi, 0, len(_K_BUCKETS) - 1))
+    kb_blk = jnp.where(counts > buckets[-1], counts, cb)
+    kb_blk = jnp.where(counts > 0, kb_blk, 0).astype(jnp.int32)
+    amin_key = jnp.where(counts > 0, nat_amin, big)
+    amax_m = jnp.where(counts > 0, nat_amax, -1)
+    bmin_m = jnp.where(counts > 0, nat_bmin, big)
+    bmax_m = jnp.where(counts > 0, nat_bmax, -1)
+
+    (_, amin_s, _, starts_sig, ends_sig, cnt_sig, nat_of_sig,
+     sig_hi, sig_lo, sig_off, amax_s, bmin_s, bmax_s) = jax.lax.sort(
+        (-kb_blk, amin_key, b_iota,
+         starts, ends, counts, b_iota,
+         nat_hi, nat_lo, nat_off, amax_m, bmin_m, bmax_m),
+        num_keys=3,
+    )
+    # zero-count (padding) blocks carried garbage columns through the
+    # sort tail — zero them so compress packs nothing for those rows
+    okb = cnt_sig > 0
+    sig_hi = jnp.where(okb, sig_hi, 0)
+    sig_lo = jnp.where(okb, sig_lo, 0)
+    sig_off = jnp.where(okb, sig_off, 0)
+    nchunk = nbc_pad // 128
+    k_raw = jnp.max(cnt_sig.reshape(nchunk, 128), axis=1)
+    bi2 = jnp.searchsorted(buckets, k_raw)
+    cb2 = jnp.take(buckets, jnp.clip(bi2, 0, len(_K_BUCKETS) - 1))
     k_chunk = jnp.where(
         k_raw > 0,
-        jnp.where(k_raw > buckets[-1], k_raw, bucketed),
+        jnp.where(k_raw > buckets[-1], k_raw, cb2),
         0,
     ).astype(jnp.int32)
-    ends_nat = jnp.where(validb, ends, big)
-    return starts_sig, ends_sig, cnt_sig, k_chunk, ends_nat, nat_of_sig
-
-
-@partial(jax.jit, static_argnames=("nbc_pad",))
-def _permute_chunks(
-    keys_tbl: jax.Array,
-    starts_sig: jax.Array, ends_sig: jax.Array, cnt_sig: jax.Array,
-    nat_of_sig: jax.Array, k_chunk: jax.Array, nbc_pad: int,
-):
-    """Sort sigma CHUNKS within each K-group by minimum A-operand index.
-
-    Chunks are freely permutable (the compress row map permutes with them
-    — it is derived from ends_sig downstream), and sorting them by the
-    first A block their tasks touch concentrates each slab's operand span
-    so the numeric phase can gather through small windows instead of the
-    full operand table (XLA dynamic gathers collapse ~5x past ~100 MB
-    operand tables — the round-2 batch-E measurement; this plan-time
-    permutation is the refinement of the round-2 windowed prototype that
-    measured break-even because sigma count-classes interleave rows).
-
-    Returns permuted (starts_sig, ends_sig, cnt_sig, nat_of_sig) plus
-    per-chunk stats (k_chunk, amin, amax, bmin, bmax) in the new order.
-    """
-    nt = keys_tbl.shape[0]
-    nchunk = nbc_pad // 128
-    big = jnp.int32(2**30)
-    # per-sigma-block operand spans: one row gather at the end positions
-    # (keys_tbl cols 6/8/9/10 = amax/amin/bmin/bmax at segment ends)
-    en = jnp.clip(ends_sig, 0, nt - 1)
-    rows = jnp.take(keys_tbl, en, axis=0)              # (nbc_pad, 11)
-    valid = cnt_sig > 0
-    amin_b = jnp.where(valid, rows[:, 8], big)
-    amax_b = jnp.where(valid, rows[:, 6], -1)
-    bmin_b = jnp.where(valid, rows[:, 9], big)
-    bmax_b = jnp.where(valid, rows[:, 10], -1)
-    amin_c = jnp.min(amin_b.reshape(nchunk, 128), axis=1)
-    amax_c = jnp.max(amax_b.reshape(nchunk, 128), axis=1)
-    bmin_c = jnp.min(bmin_b.reshape(nchunk, 128), axis=1)
-    bmax_c = jnp.max(bmax_b.reshape(nchunk, 128), axis=1)
-
-    ciota = jnp.arange(nchunk, dtype=jnp.int32)
-    (_, _, perm, k_p, amin_p, amax_p, bmin_p, bmax_p) = jax.lax.sort(
-        (-k_chunk, amin_c, ciota, k_chunk, amin_c, amax_c, bmin_c, bmax_c),
-        num_keys=2,
+    amin_c = jnp.min(amin_s.reshape(nchunk, 128), axis=1)
+    amax_c = jnp.max(amax_s.reshape(nchunk, 128), axis=1)
+    bmin_c = jnp.min(bmin_s.reshape(nchunk, 128), axis=1)
+    bmax_c = jnp.max(bmax_s.reshape(nchunk, 128), axis=1)
+    return (
+        starts_sig, ends_sig, cnt_sig, nat_of_sig, k_chunk,
+        (amin_c, amax_c, bmin_c, bmax_c),
+        (nat_ckr, nat_ckc, nat_hi, nat_lo, nat_off),
+        (sig_hi, sig_lo, sig_off),
     )
-    # block-level permutation: one row gather of the four sigma arrays
-    # stacked chunk-wise (per-chunk rows of 128 blocks each)
-    stack = jnp.concatenate(
-        [x.reshape(nchunk, 128)
-         for x in (starts_sig, ends_sig, cnt_sig, nat_of_sig)],
-        axis=1,
-    )                                                   # (nchunk, 512)
-    stp = jnp.take(stack, perm, axis=0)
-    starts_p = stp[:, 0:128].reshape(-1)
-    ends_p = stp[:, 128:256].reshape(-1)
-    cnt_p = stp[:, 256:384].reshape(-1)
-    nat_p = stp[:, 384:512].reshape(-1)
-    return (starts_p, ends_p, cnt_p, nat_p,
-            k_p, amin_p, amax_p, bmin_p, bmax_p)
 
 
 @partial(jax.jit, static_argnames=("ch_pad", "k"))
@@ -610,23 +590,6 @@ def _gather_group_slots(
     ta = rows[:, 0].reshape(ch_pad, k, 128)
     tb = rows[:, 1].reshape(ch_pad, k, 128)
     return ta, tb
-
-
-@partial(jax.jit, static_argnames=("ch_pad",))
-def _sig_rows_for_group(
-    ends_sig: jax.Array, c0: jax.Array, ch: jax.Array, ch_pad: int
-):
-    """Per-output-row compress indices for one K-group: row r (sigma
-    position c0*128 + r) reads keys_tbl at its block's end-task position;
-    padding rows (r >= ch*128) get an out-of-range index (-> zero fill)."""
-    npad = ch_pad * 128
-    ext = jnp.concatenate(
-        [ends_sig, jnp.full((npad,), 2**30, jnp.int32)]
-    )
-    base = jnp.clip(c0 * 128, 0, ends_sig.shape[0])
-    rows = jax.lax.dynamic_slice(ext, (base,), (npad,))
-    r_iota = jnp.arange(npad, dtype=jnp.int32)
-    return jnp.where(r_iota < ch * 128, rows, jnp.int32(2**30))
 
 
 def _slab_from_gathered(ga, gb, k: int):
@@ -770,24 +733,22 @@ def _contiguous_k_groups(kc) -> list:
     return groups
 
 
-def _numeric_sell_groups(
-    a_flat, b_flat, keys_tbl, starts_sig, cnt_sig, ends_sig,
+def _numeric_sell_parts(
+    a_flat, b_flat, tas: tuple, tbs: tuple,
     groups: list, impl: str,
     win: tuple = (), win_starts: tuple = (),
 ):
-    """Run the task-SELL numeric phase over all K-groups.
+    """Run the task-SELL products over all K-groups from the cached slot
+    tables (tas/tbs are PLAN data — built once per structure, not per
+    multiply).
 
     win[i] = (wa, wb) static window row counts for group i (0 = no
     window); win_starts[i] = (sa_arr, sb_arr) per-slab start rows.
     Windowed groups gather through plan-proven small windows (row-major
     tables); unwindowed groups keep the transposed-table lane gathers.
 
-    Returns (c_rows, idx_sig) where c_rows[r] is the dense 64-slot tile of
-    the sigma-order C block at stacked row r and idx_sig[r] is its
-    end-task position in keys_tbl (out-of-range for padding rows).
+    Returns c_rows: stacked (R, 64) dense C tiles in sigma group order.
     """
-    sent_a = a_flat.shape[0]
-    sent_b = b_flat.shape[0]
     if not win:
         win = ((0, 0),) * len(groups)
     any_win = any(wa or wb for wa, wb in win)
@@ -806,14 +767,8 @@ def _numeric_sell_groups(
         b_ext = jnp.concatenate(
             [b_flat, jnp.zeros((1, 64), b_flat.dtype)])
     parts = []
-    idx_rows = []
     for gi, (kg, c0, c1) in enumerate(groups):
-        ch = c1 - c0
-        ch_pad = bucket_size(ch, minimum=1)
-        ta, tb = _gather_group_slots(
-            keys_tbl, starts_sig, cnt_sig,
-            jnp.int32(c0), ch_pad, kg, sent_a, sent_b,
-        )
+        ta, tb = tas[gi], tbs[gi]
         wa, wb = win[gi]
         if wa or wb:
             sa_arr, sb_arr = win_starts[gi]
@@ -821,14 +776,7 @@ def _numeric_sell_groups(
                 a_ext, b_ext, ta, tb, kg, wa, wb, sa_arr, sb_arr))
         else:
             parts.append(_numeric_sell_group(a_t, b_t, ta, tb, impl))
-        idx_rows.append(
-            _sig_rows_for_group(ends_sig, jnp.int32(c0), jnp.int32(ch),
-                                ch_pad)
-        )
-    c_rows = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-    idx_sig = (idx_rows[0] if len(idx_rows) == 1
-               else jnp.concatenate(idx_rows))
-    return c_rows, idx_sig
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 
 @partial(jax.jit, static_argnames=("num_c_nnz",))
@@ -942,7 +890,7 @@ def _compress_fold(
 
 @partial(jax.jit, static_argnames=("j_max", "t_rows_pad"))
 def _compress_fold_plan(
-    nat_tbl: jax.Array, nat_of_sig: jax.Array, chunk_base: jax.Array,
+    nat_off: jax.Array, nat_of_sig: jax.Array, chunk_base: jax.Array,
     nbc: jax.Array, j_max: int, t_rows_pad: int,
 ) -> jax.Array:
     """Build the (t_rows_pad, j_max) contributor table for _compress_fold.
@@ -954,7 +902,7 @@ def _compress_fold_plan(
     nat_of_sig — sorts are cheap where scatters are not) -> stacked row
     (chunk_base, host data). Sentinels (2**30) mark absent contributors.
     """
-    nbc_pad = nat_tbl.shape[0]
+    nbc_pad = nat_off.shape[0]
     big = jnp.int32(2**30)
     n_iota = jnp.arange(nbc_pad, dtype=jnp.int32)
     validb = n_iota < nbc
@@ -964,7 +912,7 @@ def _compress_fold_plan(
         chunk_base, jnp.clip(sig_of // 128, 0, chunk_base.shape[0] - 1)
     ) + sig_of % 128
     # contributor runs over the monotone output-row ids
-    b_row = jnp.where(validb, nat_tbl[:, 4] // 64, big)
+    b_row = jnp.where(validb, nat_off // 64, big)
     newr = jnp.concatenate(
         [jnp.ones((1,), bool), b_row[1:] != b_row[:-1]])
     keyq = jnp.where(validb & newr, b_row, big)
@@ -1087,10 +1035,11 @@ class _ProductPlan:
     __slots__ = (
         "a", "b", "a_flat", "b_flat", "keys_tbl",
         "starts_sig", "cnt_sig", "ends_sig", "groups",
+        "tas", "tbs", "sig_st", "sig_sigma",
         "win", "win_starts", "jmax", "g_tbl", "compress_mode",
         "num_tasks", "num_alive", "num_c_blocks", "num_c_nnz",
         "nbc_pad", "nb_pad_c", "nnz_pad", "a_idx", "b_idx", "c_seg",
-        "cbrow", "cbcol", "c_off", "c_hi", "c_lo", "nat_tbl",
+        "cbrow", "cbcol", "c_off", "c_hi", "c_lo",
     )
 
 
@@ -1110,36 +1059,31 @@ def _plan_fused(a, b, offs, b_row_start, total,
     c_seg, keys_tbl, nbc, nnzc = _c_symbolic_scan(
         t_ph, t_pl, ck_row, ck_col, sentinel, a_idx, b_idx
     )
-    (starts_sig, ends_sig, cnt_sig, k_chunk, ends_nat,
-     nat_of_sig) = _plan_sell_device(c_seg, nz_total, nbc, nbc_pad)
-    (starts_sig, ends_sig, cnt_sig, nat_of_sig,
-     k_p, amin_p, amax_p, bmin_p, bmax_p) = _permute_chunks(
-        keys_tbl, starts_sig, ends_sig, cnt_sig, nat_of_sig, k_chunk,
-        nbc_pad)
-    nat_tbl = jnp.take(
-        keys_tbl, ends_nat, axis=0, mode="fill", fill_value=0,
-    )                                                   # (nbc_pad, 11)
+    (starts_sig, ends_sig, cnt_sig, nat_of_sig, k_chunk, chunk_stats,
+     nat_cols, sig_cols) = _plan_sell_device(
+        c_seg, nz_total, nbc, nbc_pad, keys_tbl)
     # compress-run stats: contributors to each 64-wide output row form a
     # contiguous run in natural order; jmax = the longest run
     b_iota = jnp.arange(nbc_pad, dtype=jnp.int32)
     validb = b_iota < nbc
-    b_row = jnp.where(validb, nat_tbl[:, 4] // 64, jnp.int32(2**30))
+    b_row = jnp.where(validb, nat_cols[4] // 64, jnp.int32(2**30))
     newr = jnp.concatenate(
         [jnp.ones((1,), bool), b_row[1:] != b_row[:-1]])
     run_start = jax.lax.cummax(jnp.where(newr, b_iota, 0))
     jmax = jnp.max(jnp.where(validb, b_iota - run_start, 0)) + 1
     head = jnp.stack(
         [nz_total, nbc, nnzc, jmax]).astype(jnp.int32)
-    packet = jnp.concatenate(
-        [head, k_p, amin_p, amax_p, bmin_p, bmax_p])
+    packet = jnp.concatenate([head, k_chunk, *chunk_stats])
     return (packet, keys_tbl, c_seg, a_idx, b_idx,
-            starts_sig, cnt_sig, ends_sig, nat_tbl, nat_of_sig)
+            starts_sig, cnt_sig, ends_sig, nat_cols, nat_of_sig,
+            sig_cols)
 
 
 # windowed-gather policy (rows = dense 64-slot tiles, 256 B each f32):
 _WIN_TABLE_MIN_ROWS = 1 << 17   # window only when the table exceeds 32 MB
 _WIN_MAX_ROWS = 1 << 18         # give up past 64 MB windows (span too wide)
 _FOLD_MAX_J = 16                # gather-fold compress only for short runs
+_FOLD_MAX_ROWS = 196608         # fold gathers collapse past ~100 MB w tables
 
 
 def _plan_windows(groups, amin_c, amax_c, bmin_c, bmax_c,
@@ -1228,7 +1172,8 @@ def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
 
     with timer.phase("T_3"):
         (packet, keys_tbl, c_seg, a_idx, b_idx,
-         starts_sig, cnt_sig, ends_sig, nat_tbl, nat_of_sig) = _plan_fused(
+         starts_sig, cnt_sig, ends_sig, nat_cols, nat_of_sig,
+         sig_cols) = _plan_fused(
             a, b, offs, b_row_start, total, t_pad, sentinel, p.nbc_pad)
     with timer.phase("T_6"):
         pkt = np.asarray(packet)  # host sync 2 of 2 (ref :1106)
@@ -1248,7 +1193,7 @@ def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
 
     p.a_idx, p.b_idx, p.c_seg, p.keys_tbl = a_idx, b_idx, c_seg, keys_tbl
     p.starts_sig, p.cnt_sig, p.ends_sig = starts_sig, cnt_sig, ends_sig
-    p.nat_tbl = nat_tbl
+    p.sig_sigma = sig_cols
     p.nnz_pad = max(bucket_size(max(p.num_c_nnz, 1)), 1)
 
     with timer.phase("T_9"):
@@ -1256,8 +1201,44 @@ def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
         p.win, p.win_starts = _plan_windows(
             p.groups, amin_c, amax_c, bmin_c, bmax_c,
             p.a_flat.shape[0], p.b_flat.shape[0])
+        # per-group slot operand tables + stacked compress columns —
+        # PLAN data (built once per structure; the round-2 design
+        # rebuilt the slots and row-gathered keys_tbl every multiply)
+        sent_a = p.a_flat.shape[0]
+        sent_b = p.b_flat.shape[0]
+        tas = []
+        tbs = []
+        sig_st = [[], [], []]
+        for kg, c0, c1 in p.groups:
+            ch = c1 - c0
+            ch_pad = bucket_size(ch, minimum=1)
+            ta, tb = _gather_group_slots(
+                keys_tbl, starts_sig, cnt_sig,
+                jnp.int32(c0), ch_pad, kg, sent_a, sent_b,
+            )
+            tas.append(ta)
+            tbs.append(tb)
+            lo_r = c0 * 128
+            real = min(ch * 128, max(p.nbc_pad - lo_r, 0))
+            for i in range(3):
+                seg = jax.lax.slice(sig_cols[i], (lo_r,),
+                                    (lo_r + real,))
+                if real < ch_pad * 128:
+                    seg = jnp.concatenate([
+                        seg,
+                        jnp.zeros((ch_pad * 128 - real,), jnp.int32)])
+                sig_st[i].append(seg)
+        p.tas, p.tbs = tuple(tas), tuple(tbs)
+        p.sig_st = tuple(
+            (c[0] if len(c) == 1 else jnp.concatenate(c))
+            if c else jnp.zeros((1,), jnp.int32)
+            for c in sig_st
+        )
         # compress plan: gather-fold when contributor runs are short and
-        # padding stays bounded, else the row scatter-add
+        # padding stays bounded, else the row scatter-add. The fold's
+        # gathers read the (R, 128) packed-row table — past ~100 MB
+        # (R > ~200k rows) they collapse to the slow rate and the
+        # scatter wins again, so large products keep the scatter.
         r_rows = sum(
             bucket_size(c1 - c0, minimum=1) * 128
             for _, c0, c1 in p.groups
@@ -1266,6 +1247,7 @@ def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
         use_fold = (
             p.groups and 0 < p.jmax <= _FOLD_MAX_J
             and t_rows_pad * p.jmax <= max(4 * r_rows, 1)
+            and r_rows <= _FOLD_MAX_ROWS
         )
         if use_fold:
             chunk_base = np.full((nchunk,), r_rows, np.int64)
@@ -1276,7 +1258,7 @@ def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
                     np.arange(c1 - c0, dtype=np.int64) * 128)
                 base += ch_pad * 128
             p.g_tbl = _compress_fold_plan(
-                nat_tbl, nat_of_sig,
+                nat_cols[4], nat_of_sig,
                 jnp.asarray(chunk_base, jnp.int32),
                 jnp.int32(p.num_c_blocks),
                 j_max=p.jmax, t_rows_pad=t_rows_pad)
@@ -1295,13 +1277,13 @@ def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
     nbp = p.nb_pad_c
     b_iota = jnp.arange(nbp, dtype=jnp.int32)
     valid_b = b_iota < p.num_c_blocks
-    nat_s = nat_tbl[:nbp]
-    p.cbrow = jnp.where(valid_b, nat_s[:, 0], jnp.int32(a.block_rows))
-    p.cbcol = jnp.where(valid_b, nat_s[:, 1], 0)
-    p.c_hi = jnp.where(valid_b, nat_s[:, 2], 0).astype(jnp.uint32)
-    p.c_lo = jnp.where(valid_b, nat_s[:, 3], 0).astype(jnp.uint32)
+    p.cbrow = jnp.where(valid_b, nat_cols[0][:nbp],
+                        jnp.int32(a.block_rows))
+    p.cbcol = jnp.where(valid_b, nat_cols[1][:nbp], 0)
+    p.c_hi = jnp.where(valid_b, nat_cols[2][:nbp], 0).astype(jnp.uint32)
+    p.c_lo = jnp.where(valid_b, nat_cols[3][:nbp], 0).astype(jnp.uint32)
     p.c_off = jnp.where(
-        valid_b, nat_s[:, 4], jnp.int32(max(p.num_c_nnz - 1, 0))
+        valid_b, nat_cols[4][:nbp], jnp.int32(max(p.num_c_nnz - 1, 0))
     )
     return p
 
@@ -1361,32 +1343,30 @@ def spgemm(
     static_argnames=("groups", "impl", "nnz_pad", "win", "compress"),
 )
 def _numeric_stage(
-    a_flat, b_flat, keys_tbl, starts_sig, cnt_sig, ends_sig,
+    a_flat, b_flat, tas, tbs, sig_hi, sig_lo, sig_off,
     win_starts, g_tbl,
     groups: tuple, impl: str, nnz_pad: int,
     win: tuple = (), compress: str = "scatter",
 ):
-    """The ENTIRE numeric phase (slot gathers, products, K-sums, compress)
-    as one jitted program — one dispatch per multiply (each eager op costs
-    a full tunnel round trip on the axon runtime; the unjitted round-1
-    formulation burned ~30-55 ms per op on them).
+    """The ENTIRE numeric phase (operand gathers, products, K-sums,
+    compress) as one jitted program — one dispatch per multiply (each
+    eager op costs a full tunnel round trip on the axon runtime; the
+    unjitted round-1 formulation burned ~30-55 ms per op on them).
 
-    win/win_starts: per-group gather windows (see _plan_windows);
-    compress/g_tbl: "fold" routes the bit-pack through the gather-fold
-    (_compress_fold), "scatter" through the row scatter-add."""
-    c_rows, idx_sig_d = _numeric_sell_groups(
-        a_flat, b_flat, keys_tbl, starts_sig, cnt_sig, ends_sig,
-        list(groups), impl, win, win_starts,
+    Everything structural is PLAN data: tas/tbs are the per-group slot
+    operand tables, sig_hi/lo/off the stacked-row compress columns (the
+    round-2 per-multiply keys_tbl row-gather collapsed at >100 MB
+    tables), win/win_starts the per-group gather windows, g_tbl the
+    fold-compress contributor table ("fold") vs the row scatter-add
+    ("scatter")."""
+    c_rows = _numeric_sell_parts(
+        a_flat, b_flat, tas, tbs, list(groups), impl, win, win_starts,
     )
-    sig_tbl = jnp.take(
-        keys_tbl, idx_sig_d, axis=0, mode="fill", fill_value=0,
-    )                                               # (R, 11)
-    hi = sig_tbl[:, 2].astype(jnp.uint32)
-    lo = sig_tbl[:, 3].astype(jnp.uint32)
-    off = sig_tbl[:, 4]
+    hi = sig_hi.astype(jnp.uint32)
+    lo = sig_lo.astype(jnp.uint32)
     if compress == "fold":
-        return _compress_fold(c_rows, hi, lo, off, g_tbl, nnz_pad)
-    return _compress_rows(c_rows, hi, lo, off, nnz_pad)
+        return _compress_fold(c_rows, hi, lo, sig_off, g_tbl, nnz_pad)
+    return _compress_rows(c_rows, hi, lo, sig_off, nnz_pad)
 
 
 def _numeric_from_plan(p: _ProductPlan, impl: str) -> jax.Array:
@@ -1405,8 +1385,8 @@ def _numeric_from_plan(p: _ProductPlan, impl: str) -> jax.Array:
         )
     if p.groups and p.num_c_blocks > 0:
         return _numeric_stage(
-            p.a_flat, p.b_flat, p.keys_tbl,
-            p.starts_sig, p.cnt_sig, p.ends_sig,
+            p.a_flat, p.b_flat, p.tas, p.tbs,
+            p.sig_st[0], p.sig_st[1], p.sig_st[2],
             p.win_starts, p.g_tbl,
             tuple(p.groups), impl, p.nnz_pad,
             win=p.win, compress=p.compress_mode,

@@ -138,7 +138,8 @@ def _spmv_prepared(p, v: jax.Array, dia_impl: str = "xla") -> jax.Array:
 
     if p.sell_ks:
         u_sell = sell_apply(
-            p.sell_dense, p.sell_bcol, p.out_gather, vpad, nbc
+            p.sell_dense, p.sell_bcol, p.out_gather, vpad, nbc,
+            gather=p.sell_gather,
         )                                              # (nbr, 8)
         u = u + u_sell.reshape(npad)
 
@@ -221,12 +222,21 @@ def sell_apply(
     nbc: int,
     col_base=None,
     global_sentinel: int | None = None,
+    gather: str = "lane",
 ):
     """SELL-tier contribution: (block_rows, 8) row-major.
 
-    Per K-group: one flat-index lane gather of v block segments, a fused
-    multiply-reduce over (j, k), a lane->sublane transpose; then the
-    inverse-permutation row gather places rows (fill rows -> 0).
+    Per K-group: one v-segment gather per slot, a fused multiply-reduce
+    over (j, k), a lane->sublane transpose; then the inverse-permutation
+    row gather places rows (fill rows -> 0).
+
+    gather selects the v access scheme:
+      * "lane"  — one lane gather per slot from a (8, nbc+1) table.
+      * "wide8" — gather-granularity coarsening: ONE index per slot into
+        a (64, nbc/8+1) table covering EIGHT block columns (TPU gathers
+        cost per index, not per byte), then an 8-way sublane selection
+        by bcol%8 that fuses into the product FMAs. Cuts the dominant
+        per-index cost 8x on scattered structures (web/road/blockdense).
 
     col_base/global_sentinel: multi-chip halo mode — bcol indices are
     GLOBAL block columns while vpad is a shard-local window starting at
@@ -234,14 +244,24 @@ def sell_apply(
     count) remaps to the window's zero column.
     """
     cdt = jnp.promote_types(sell_dense[0].dtype, jnp.float32)
-    # v as (8, nbc+1): lanes = block columns, one zero sentinel column.
-    v2 = jnp.concatenate(
-        [
-            vpad[: nbc * BLOCK_WIDTH].reshape(nbc, BLOCK_WIDTH).T,
-            jnp.zeros((BLOCK_WIDTH, 1), cdt),
-        ],
-        axis=1,
-    )
+    nbc8 = cdiv(nbc, 8)
+    if gather == "wide8":
+        # v as (64, nbc8+1): row r*8+j holds v[(8c+r)*8+j] at lane c.
+        vflat = vpad[: nbc * BLOCK_WIDTH]
+        if nbc8 * 64 != nbc * BLOCK_WIDTH:
+            vflat = jnp.concatenate(
+                [vflat, jnp.zeros((nbc8 * 64 - nbc * 8,), cdt)])
+        v8 = jnp.concatenate(
+            [vflat.reshape(nbc8, 64).T, jnp.zeros((64, 1), cdt)], axis=1)
+    else:
+        # v as (8, nbc+1): lanes = block columns, one zero sentinel col.
+        v2 = jnp.concatenate(
+            [
+                vpad[: nbc * BLOCK_WIDTH].reshape(nbc, BLOCK_WIDTH).T,
+                jnp.zeros((BLOCK_WIDTH, 1), cdt),
+            ],
+            axis=1,
+        )
     parts = []
     for dense_g, bcol_g in zip(sell_dense, sell_bcol):
         if col_base is not None:
@@ -253,11 +273,27 @@ def sell_apply(
                 0, nbc,
             )
         _, ch, kg, _, lanes = dense_g.shape
-        # flat-index lane gather, then a free lane-split reshape; the
-        # j-major dense layout lines up without a runtime transpose
-        vseg = jnp.take(v2, bcol_g, axis=1).reshape(
-            BLOCK_WIDTH, ch, kg, 1, lanes
-        )
+        if gather == "wide8":
+            sent = bcol_g >= nbc
+            i8 = jnp.where(sent, nbc8, bcol_g >> 3)
+            m8 = jnp.where(sent, 0, bcol_g & 7)
+            g = jnp.take(v8, i8, axis=1)                  # (64, N)
+            # 8-way sublane selection: vseg[j] = g[m8*8 + j] — all
+            # lane-aligned selects, fused with the product below
+            vs = []
+            for j in range(BLOCK_WIDTH):
+                acc = jnp.where(m8 == 0, g[j], 0)
+                for r in range(1, 8):
+                    acc = jnp.where(m8 == r, g[r * 8 + j], acc)
+                vs.append(acc)
+            vseg = jnp.stack(vs).reshape(
+                BLOCK_WIDTH, ch, kg, 1, lanes)
+        else:
+            # flat-index lane gather, then a free lane-split reshape; the
+            # j-major dense layout lines up without a runtime transpose
+            vseg = jnp.take(v2, bcol_g, axis=1).reshape(
+                BLOCK_WIDTH, ch, kg, 1, lanes
+            )
         # single fused multiply-reduce over (j, k) — an unrolled j-loop
         # re-reads the accumulator 8x (measured 20% slower)
         contrib = jnp.sum(dense_g * vseg, axis=(0, 2))       # (ch, 8, 128)

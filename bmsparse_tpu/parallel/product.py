@@ -77,6 +77,13 @@ class ShardedProduct:
     caps: tuple = dataclasses.field(metadata=dict(static=True), default=())
     impl: str = dataclasses.field(metadata=dict(static=True),
                                   default="sell")
+    # exchange strategy: "selective" (padded all_to_all of needed tiles)
+    # or "allgather" (the skew fallback — when padding inflates the
+    # selective wire volume past a full all-gather, e.g. webgraph hubs
+    # making one shard need most of B, selective is a net loss and the
+    # planner falls back automatically)
+    exchange: str = dataclasses.field(metadata=dict(static=True),
+                                      default="selective")
     nnz_pad: int = dataclasses.field(metadata=dict(static=True), default=1)
     nbc_pad: int = dataclasses.field(metadata=dict(static=True), default=1)
     max_send: int = dataclasses.field(metadata=dict(static=True), default=1)
@@ -85,11 +92,19 @@ class ShardedProduct:
     rows_per_shard: int = dataclasses.field(
         metadata=dict(static=True), default=0)
     # plan-time comm accounting (bytes per multiply, for the scaling
-    # report): selective vs the round-1 full all-gather
+    # report). comm_bytes_selective charges the WIRE volume — every
+    # off-diagonal pair padded to max_send, exactly what the all_to_all
+    # moves — while comm_bytes_useful counts only real tiles (the
+    # round-2 number, kept for the padding-overhead ratio).
     comm_bytes_selective: int = dataclasses.field(
+        metadata=dict(static=True), default=0)
+    comm_bytes_useful: int = dataclasses.field(
         metadata=dict(static=True), default=0)
     comm_bytes_allgather: int = dataclasses.field(
         metadata=dict(static=True), default=0)
+    # host-side planning wall time (seconds) for the whole prepare
+    plan_seconds: float = dataclasses.field(
+        metadata=dict(static=True), default=0.0)
 
     @property
     def num_shards(self) -> int:
@@ -107,6 +122,9 @@ def prepare_sharded_product(
     selective exchange plan. impl selects the per-shard product kernel
     ("sell" | "pallas"), stored on the plan for sharded_multiply.
     """
+    import time as _time
+
+    t_plan0 = _time.monotonic()
     d = sa.num_shards
     if sb.num_shards != d:
         raise ValueError("operand shard counts differ")
@@ -123,11 +141,17 @@ def prepare_sharded_product(
         owner_of[owner_starts[s]:owner_starts[s + 1]] = s
     owner_of[nb_b] = d  # sentinel
 
+    # decompress B ONCE and share it across the d per-shard plans (each
+    # _plan_product would otherwise re-run the B-side decompress gather)
+    class _BPrep:
+        dense_flat = b_full.decompress_blocks_flat()
+
     timer = PhaseTimer(enabled=False)
     plans = []
     for s in range(d):
         a_s = sa.shard_local(s)
-        plans.append(sg._plan_product(a_s, b_full, None, None, timer, False))
+        plans.append(
+            sg._plan_product(a_s, b_full, None, _BPrep, timer, False))
 
     # ---- unified static layout ------------------------------------------
     ks_all = sorted(
@@ -192,15 +216,17 @@ def prepare_sharded_product(
                     ta_h[:n_real])
                 tbs_global[gi][s, :n_real] = np.where(
                     tb_h[:n_real] >= sent_b_local, nb_b, tb_h[:n_real])
-                idx = np.asarray(sg._sig_rows_for_group(
-                    p.ends_sig, jnp.int32(c0), jnp.int32(ch), ch_pad
-                ))[: cap * 128]
-                tbl = np.asarray(p.keys_tbl)
-                ok = idx < tbl.shape[0]
-                rr = row0 + np.arange(len(idx))[ok]
-                sig_hi[s, rr] = tbl[idx[ok], 2].astype(np.uint32)
-                sig_lo[s, rr] = tbl[idx[ok], 3].astype(np.uint32)
-                sig_off[s, rr] = tbl[idx[ok], 4]
+                # sigma-ordered compress columns are plan data (carried
+                # through the planner's sorts; no keys_tbl gather)
+                nrows = min(ch, cap) * 128
+                lo_r = c0 * 128
+                rr = row0 + np.arange(nrows)
+                sig_hi[s, rr] = np.asarray(
+                    p.sig_sigma[0][lo_r:lo_r + nrows]).astype(np.uint32)
+                sig_lo[s, rr] = np.asarray(
+                    p.sig_sigma[1][lo_r:lo_r + nrows]).astype(np.uint32)
+                sig_off[s, rr] = np.asarray(
+                    p.sig_sigma[2][lo_r:lo_r + nrows])
             row0 += cap * 128
         if ks_all:
             gids = np.unique(np.concatenate(
@@ -212,16 +238,19 @@ def prepare_sharded_product(
 
         nb_c = p.num_c_blocks
         npd = min(p.nb_pad_c, nbc_pad)
-        nt = np.asarray(p.nat_tbl)
-        mask = np.arange(npd) < nb_c
         cbrow[s, :npd] = np.asarray(p.cbrow)[:npd]
         cbcol[s, :npd] = np.asarray(p.cbcol)[:npd]
-        c_hi[s, :npd] = np.where(mask, nt[:npd, 2], 0).astype(np.uint32)
-        c_lo[s, :npd] = np.where(mask, nt[:npd, 3], 0).astype(np.uint32)
+        c_hi[s, :npd] = np.asarray(p.c_hi)[:npd]     # already validity-masked
+        c_lo[s, :npd] = np.asarray(p.c_lo)[:npd]
         c_off[s, :npd] = np.asarray(p.c_off)[:npd]
         c_nb[s] = nb_c
 
     # ---- selective exchange plan + B-index remap ------------------------
+    # A shard's OWN tiles never ride the exchange: the numeric gathers
+    # read them straight from the local slab (b_needed = [exchanged ;
+    # own slab ; sentinel]). max_send is therefore the largest
+    # OFF-DIAGONAL pair — for banded structure the halo, not the slab
+    # (round 2 padded every pair to the self-pair's full slab size).
     max_send = 1
     send_counts = np.zeros((d, d), np.int64)   # [src, dst]
     for s in range(d):
@@ -229,44 +258,72 @@ def prepare_sharded_product(
             cnt = int(((needed[s] >= owner_starts[src])
                        & (needed[s] < owner_starts[src + 1])).sum())
             send_counts[src, s] = cnt
-            max_send = max(max_send, cnt)
+            if src != s:
+                max_send = max(max_send, cnt)
 
     nb_b_max = max(max(nb_per), 1)
     b_flat_own = np.zeros((d, nb_b_max, 64), np.float32)
-    bf_full = np.asarray(b_full.decompress_blocks_flat(), np.float32)
+    bf_full = np.asarray(_BPrep.dense_flat, np.float32)
     for s in range(d):
         b_flat_own[s, : nb_per[s]] = bf_full[
             owner_starts[s]:owner_starts[s + 1]
         ]
 
-    send_idx = np.full((d, d, max_send), nb_b_max, np.int32)  # [src, dst]
-    # global id -> slot in the receiver's b_needed space (owner-region
-    # base + rank within that region; gids are sorted so regions are
-    # contiguous and searchsorted remaps in bulk)
-    tbs = [np.full_like(t, d * max_send) for t in tbs_global]
-    for s in range(d):
-        gids = needed[s]
-        owners = owner_of[gids]
-        local = gids - owner_starts[owners]
-        pos = np.zeros((len(gids),), np.int64)
-        for src in range(d):
-            m = owners == src
-            cnt = int(m.sum())
-            pos[m] = np.arange(cnt)
-            send_idx[src, s, :cnt] = local[m]
-        slot_arr = owners * max_send + pos
-        for gi in range(len(ks_all)):
-            tg = tbs_global[gi][s]
-            real = tg < nb_b
-            if real.any():
-                tbs[gi][s][real] = slot_arr[
-                    np.searchsorted(gids, tg[real])
-                ]
-
-    # ICI bytes per multiply (self->self slabs never leave the chip)
+    # wire bytes per multiply: the all_to_all pads EVERY off-diagonal
+    # pair to max_send, and that padding crosses ICI — charge it (the
+    # round-2 accounting only counted real tiles and understated skewed
+    # structure). Self->self slabs never leave the chip.
     off_diag = send_counts.sum() - np.trace(send_counts)
-    sel_bytes = int(off_diag * 64 * 4)
+    useful_bytes = int(off_diag * 64 * 4)
+    sel_bytes = int(d * (d - 1) * max_send * 64 * 4)
     allg_bytes = int(d * (d - 1) * nb_b_max * 64 * 4)
+    # skew fallback: webgraph-like hub structure makes one shard need
+    # most of B, ballooning max_send until the padded selective exchange
+    # moves MORE than a plain all-gather of the owned slabs; at that
+    # point all-gather is strictly better (same or fewer bytes, no
+    # send-staging gather)
+    exchange = "selective" if sel_bytes < allg_bytes else "allgather"
+
+    send_idx = np.full((d, d, max_send), nb_b_max, np.int32)  # [src, dst]
+    if exchange == "selective":
+        # global id -> slot in the receiver's b_needed space: exchanged
+        # off-diagonal tiles at owner*max_send + rank-within-pair, own
+        # tiles at d*max_send + local (the local slab appended after the
+        # exchange buffer); sentinel row last. gids are sorted so owner
+        # regions are contiguous and searchsorted remaps in bulk.
+        sent_slot = d * max_send + nb_b_max
+        tbs = [np.full_like(t, sent_slot) for t in tbs_global]
+        for s in range(d):
+            gids = needed[s]
+            owners = owner_of[gids]
+            local = gids - owner_starts[owners]
+            slot_arr = np.zeros((len(gids),), np.int64)
+            for src in range(d):
+                m = owners == src
+                cnt = int(m.sum())
+                if src == s:
+                    slot_arr[m] = d * max_send + local[m]
+                else:
+                    send_idx[src, s, :cnt] = local[m]
+                    slot_arr[m] = src * max_send + np.arange(cnt)
+            for gi in range(len(ks_all)):
+                tg = tbs_global[gi][s]
+                real = tg < nb_b
+                if real.any():
+                    tbs[gi][s][real] = slot_arr[
+                        np.searchsorted(gids, tg[real])
+                    ]
+    else:
+        # all-gather layout: global id g lives at owner*nb_b_max + local
+        tbs = []
+        for gi in range(len(ks_all)):
+            tg = np.minimum(tbs_global[gi], nb_b)
+            owners = owner_of[tg]
+            local = tg - owner_starts[np.minimum(owners, d - 1)]
+            slot = np.where(
+                tg < nb_b, owners * nb_b_max + local, d * nb_b_max
+            ).astype(np.int32)
+            tbs.append(slot)
 
     return ShardedProduct(
         a_flat=jnp.asarray(a_flat),
@@ -280,39 +337,53 @@ def prepare_sharded_product(
         c_hi=jnp.asarray(c_hi), c_lo=jnp.asarray(c_lo),
         c_offsets=jnp.asarray(c_off), c_nb=jnp.asarray(c_nb),
         ks=tuple(ks_all), caps=tuple(caps), impl=impl,
+        exchange=exchange,
         nnz_pad=nnz_pad, nbc_pad=nbc_pad, max_send=max_send,
         num_rows=sa.num_rows, num_cols=sb.num_cols,
         rows_per_shard=sa.rows_per_shard,
         comm_bytes_selective=sel_bytes,
+        comm_bytes_useful=useful_bytes,
         comm_bytes_allgather=allg_bytes,
+        plan_seconds=float(_time.monotonic() - t_plan0),
     )
 
 
 def _local_multiply(
     a_flat, b_flat, send_idx, shi, slo, soff, *tabs,
-    nnz_pad: int, impl: str,
+    nnz_pad: int, impl: str, exchange: str = "selective",
 ):
-    """Per-shard body: selective tile exchange + task-SELL numeric.
+    """Per-shard body: B tile exchange + task-SELL numeric.
 
-    The A-side transposed table and the slot gathers on it depend only on
-    local data, so XLA overlaps them with the all_to_all exchange."""
+    exchange="selective": staged send buffers + one fused all_to_all of
+    exactly the needed tiles (padded per pair). "allgather": the skew
+    fallback — all shards receive every owned slab. The A-side transposed
+    table and the slot gathers on it depend only on local data, so XLA
+    can overlap them with the exchange."""
     af = a_flat[0]
     bf = b_flat[0]
     nb_b_max = bf.shape[0]
-    # send buffer: for each destination, the dense tiles it needs from us
-    # (sentinel index nb_b_max -> zero row via the padded table)
-    bf_pad = jnp.concatenate([bf, jnp.zeros((1, 64), bf.dtype)])
-    send = jnp.take(
-        bf_pad, jnp.clip(send_idx[0], 0, nb_b_max), axis=0
-    )                                    # (d, max_send, 64)
-    # one fused all_to_all = the d-1-step ppermute ring, ICI-native;
-    # output row-block r holds the tiles shard r sent to us
-    b_needed = jax.lax.all_to_all(
-        send, AXIS, split_axis=0, concat_axis=0
-    ).reshape(-1, 64)                    # (d*max_send, 64)
+    if exchange == "selective":
+        # send buffer: for each destination, the dense tiles it needs
+        # from us (sentinel index nb_b_max -> zero row via the padded
+        # table; the self row sends zeros — own tiles never ride the
+        # exchange, they are read from the local slab appended below)
+        bf_pad = jnp.concatenate([bf, jnp.zeros((1, 64), bf.dtype)])
+        send = jnp.take(
+            bf_pad, jnp.clip(send_idx[0], 0, nb_b_max), axis=0
+        )                                    # (d, max_send, 64)
+        # one fused all_to_all = the d-1-step ppermute ring, ICI-native;
+        # output row-block r holds the tiles shard r sent to us
+        exch = jax.lax.all_to_all(
+            send, AXIS, split_axis=0, concat_axis=0
+        ).reshape(-1, 64)                    # (d*max_send, 64)
+        b_needed = jnp.concatenate([exch, bf])  # + own slab
+    else:
+        b_needed = jax.lax.all_gather(
+            bf, AXIS, tiled=True
+        )                                    # (d*nb_b_max, 64)
     b_needed = jnp.concatenate(
         [b_needed, jnp.zeros((1, 64), bf.dtype)]
-    )                                    # sentinel row at d*max_send
+    )                                    # sentinel row last
 
     a_t = jnp.concatenate(
         [af.T, jnp.zeros((64, 1), af.dtype)], axis=1)
@@ -340,20 +411,22 @@ def _local_multiply(
 _MULTIPLY_CACHE: "dict" = None
 
 
-def _multiply_fn(nnz_pad: int, impl: str, n_operands: int, mesh):
+def _multiply_fn(nnz_pad: int, impl: str, exchange: str,
+                 n_operands: int, mesh):
     import weakref
 
     global _MULTIPLY_CACHE
     if _MULTIPLY_CACHE is None:
         _MULTIPLY_CACHE = weakref.WeakKeyDictionary()
     per_mesh = _MULTIPLY_CACHE.setdefault(mesh, {})
-    key = (nnz_pad, impl, n_operands)
+    key = (nnz_pad, impl, exchange, n_operands)
     fn = per_mesh.get(key)
     if fn is None:
         from jax.sharding import PartitionSpec as P
 
         fn = jax.jit(shard_map(
-            partial(_local_multiply, nnz_pad=nnz_pad, impl=impl),
+            partial(_local_multiply, nnz_pad=nnz_pad, impl=impl,
+                    exchange=exchange),
             mesh=mesh,
             in_specs=(P(AXIS),) * n_operands,
             out_specs=P(AXIS),
@@ -369,7 +442,8 @@ def sharded_multiply(spp: ShardedProduct, mesh) -> ShardedBmSparse:
         spp.sig_hi, spp.sig_lo, spp.sig_off,
         *spp.tas, *spp.tbs,
     ]
-    fn = _multiply_fn(spp.nnz_pad, spp.impl, len(operands), mesh)
+    fn = _multiply_fn(spp.nnz_pad, spp.impl, spp.exchange,
+                      len(operands), mesh)
     values = fn(*operands)
     return ShardedBmSparse(
         brow=spp.cbrow, bcol=spp.cbcol,

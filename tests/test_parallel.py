@@ -235,3 +235,41 @@ def test_sharded_spmv_halo_exchange():
     ref = sp.csr_matrix((vals, (rows, cols)), shape=(n, n)) @ v
     np.testing.assert_allclose(u_halo, ref, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(u_halo, u_ag, rtol=1e-6, atol=1e-6)
+
+
+@needs_8
+def test_sharded_product_skew_fallback():
+    """Dense-row (hub) structure makes every shard need most of B; the
+    padded selective exchange would then move at least as much as an
+    all-gather, and the planner must fall back — with wire-true byte
+    accounting (padding charged) either way."""
+    from bmsparse_tpu.ops.spgemm import spgemm
+    from bmsparse_tpu.parallel.product import (
+        prepare_sharded_product, sharded_multiply,
+    )
+
+    n = 512
+    rng = np.random.default_rng(77)
+    # every 64th row fully dense -> every shard depends on all B rows
+    dense_rows = np.arange(0, n, 64)
+    r1 = np.concatenate([np.full((n,), dr) for dr in dense_rows]
+                        + [np.arange(n)])
+    c1 = np.concatenate([np.arange(n)] * len(dense_rows)
+                        + [np.arange(n)])
+    key = np.unique(r1.astype(np.int64) * n + c1)
+    rows, cols = np.divmod(key, n)
+    vals = rng.standard_normal(len(rows)).astype(np.float32)
+    a = coo_to_bmsparse(rows.astype(np.int32), cols.astype(np.int32),
+                        vals, (n, n))
+    bt = coo_to_bmsparse(rows.astype(np.int32), cols.astype(np.int32),
+                         vals, (n, n), transposed=True)
+    sa, sb = partition(a, 8, align=16), partition(bt, 8, align=16)
+    spp = prepare_sharded_product(sa, sb)
+    assert spp.exchange == "allgather"
+    assert spp.comm_bytes_selective >= spp.comm_bytes_allgather
+    assert spp.comm_bytes_useful <= spp.comm_bytes_selective
+    assert spp.plan_seconds > 0
+    c_ref = spgemm(a, bt)
+    c_sh = sharded_multiply(spp, make_mesh(8)).to_bmsparse()
+    for x, y in zip(c_ref.generate_coo(), c_sh.generate_coo()):
+        np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6)

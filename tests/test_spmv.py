@@ -159,3 +159,32 @@ def test_real_structure_families_spmv():
         ref = ssp.csr_matrix((vals, (rows, cols)), shape=shape) @ v
         np.testing.assert_allclose(u, ref, rtol=1e-4, atol=1e-4,
                                    err_msg=name)
+
+
+def test_sell_wide8_gather_matches_lane():
+    """Gather-granularity coarsening (wide8: one index per 8 block
+    columns + fused sublane selection) must be numerically identical to
+    the per-slot lane gather, including non-multiple-of-64 columns and
+    sentinel padding slots."""
+    import dataclasses as dc
+
+    from bmsparse_tpu.ops.plan import prepare
+
+    rng = np.random.default_rng(31)
+    for n in (4096, 1000):
+        nnz = n * 6
+        flat = rng.choice(n * n, size=nnz, replace=False)
+        rows, cols = np.divmod(flat, n)
+        vals = rng.standard_normal(nnz).astype(np.float32)
+        order = np.lexsort((cols, rows))
+        m = coo_to_bmsparse(
+            rows[order].astype(np.int32), cols[order].astype(np.int32),
+            vals[order], (n, n), backend="host")
+        v = rng.standard_normal(n).astype(np.float32)
+        p = prepare(m)
+        u_wide = spmv(dc.replace(p, sell_gather="wide8"), v)
+        u_lane = spmv(dc.replace(p, sell_gather="lane"), v)
+        np.testing.assert_array_equal(np.asarray(u_wide),
+                                      np.asarray(u_lane))
+        np.testing.assert_allclose(
+            np.asarray(u_wide), m.to_scipy() @ v, rtol=1e-4, atol=1e-4)
