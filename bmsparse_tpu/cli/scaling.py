@@ -43,7 +43,20 @@ def _ring_allgather_seconds(total_bytes: int, d: int) -> float:
     return total_bytes * (d - 1) / d / (ICI_RING_GBPS * 1e9)
 
 
-def build_report(m, sizes, v, mesh_fn, iters=5, run_sim=True) -> dict:
+def _estimate_spgemm_tasks(m) -> int:
+    """Cheap host-side task-volume estimate for C = A @ A (B = A^T
+    layout): every A block (i, k) pairs with every block of A's block
+    column k. Pure numpy on the container's block coordinates — used to
+    refuse CPU-sim SpGEMM planning that cannot finish (a 256k-row
+    webgraph's hubs produce 131M tasks; the plan tables alone would be
+    ~6 GB)."""
+    bcol = np.asarray(m.bcol)[: int(m.nb)]
+    per_col = np.bincount(bcol, minlength=max(int(bcol.max(initial=0)) + 1, 1))
+    return int(per_col[bcol].sum())
+
+
+def build_report(m, sizes, v, mesh_fn, iters=5, run_sim=True,
+                 spgemm_task_budget: int = 20_000_000) -> dict:
     import jax
 
     from ..parallel.partition import partition
@@ -125,6 +138,17 @@ def build_report(m, sizes, v, mesh_fn, iters=5, run_sim=True) -> dict:
         from ..parallel.product import (
             prepare_sharded_product, sharded_multiply,
         )
+
+        est_tasks = _estimate_spgemm_tasks(m)
+        if est_tasks > spgemm_task_budget:
+            report["spgemm_skipped"] = {
+                "estimated_tasks": est_tasks,
+                "task_budget": spgemm_task_budget,
+                "note": "A@A task volume exceeds the host/CPU-sim "
+                        "planning budget; rerun with a smaller --n or "
+                        "raise --spgemm-task-budget",
+            }
+            return report
 
         sco = m.to_scipy().tocoo()
         bt = coo_to_bmsparse(
@@ -245,6 +269,9 @@ def main(argv=None) -> int:
     p.add_argument("--devices", default=None,
                    help="comma-separated mesh sizes (default: 1..all)")
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--spgemm-task-budget", type=int, default=20_000_000,
+                   help="skip the SpGEMM section (with a recorded reason) "
+                        "when the A@A task estimate exceeds this")
     p.add_argument("--report", default=None, help="write JSON report here")
     p.add_argument("--cpu-sim", action="store_true",
                    help="force the CPU backend (use with XLA_FLAGS="
@@ -300,7 +327,12 @@ def main(argv=None) -> int:
     v = jnp.asarray(rng.standard_normal(m.num_cols).astype(np.float32))
 
     print(f"matrix {m.shape}, nnz {m.nnz}; devices available: {total}")
-    report = build_report(m, sizes, v, make_mesh, iters=args.iters)
+    report = build_report(m, sizes, v, make_mesh, iters=args.iters,
+                          spgemm_task_budget=args.spgemm_task_budget)
+    if "spgemm_skipped" in report:
+        sk = report["spgemm_skipped"]
+        print(f"  spgemm: skipped ({sk['estimated_tasks']} estimated "
+              f"tasks > budget {sk['task_budget']})")
     for row in report["spmv"]:
         pr = row["projected"]
         ms = row.get("measured_sim", {})

@@ -86,10 +86,6 @@ class Prepared:
     # rows with no SELL blocks point past the end (taken with fill=0).
     out_gather: jax.Array | None = None   # (block_rows,) int32
     sell_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
-    # v access scheme for the SELL tier ("lane" | "wide8"; see
-    # ops/spmv.py:sell_apply) — chosen at prepare time.
-    sell_gather: str = dataclasses.field(
-        metadata=dict(static=True), default="lane")
 
     def __getattr__(self, name):
         return getattr(object.__getattribute__(self, "m"), name)
@@ -117,7 +113,7 @@ def _choose_diagonals(
 
 
 def prepare(m: BmSparse, dtype=None, force_layout=None,
-            col_shift: int = 0) -> Prepared:
+            col_shift: int = 0, sell_unit: int | None = None) -> Prepared:
     """Build the tiered execution plan (host-side numpy, once per matrix).
 
     dtype: storage dtype for the plan tiers; defaults to the matrix's
@@ -135,6 +131,11 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
     col_shift: subtracted from column indices when assigning scalars to
     diagonals (the multi-chip path keeps columns global but rows shard-
     local; diagonal offset o then means v[row + col_shift + o]).
+
+    sell_unit: SELL slot granularity in scalar columns (8 = one slot per
+    8x8 block, 64 = super-slots merging a row's blocks that share a
+    64-scalar column window). None = automatic (64 when the merge factor
+    reaches 2x; see the tier-2 comment).
     """
     if isinstance(m, Prepared):
         return m
@@ -179,25 +180,47 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
             rows, cols, vals = rows[~on_dia], cols[~on_dia], vals[~on_dia]
 
     # ---- Tier 2: SELL-C-128 over the remaining blocks -------------------
+    # Slot granularity: one gather index per SLOT, and TPU gathers cost
+    # per index, not per byte — so when a block-row's columns cluster,
+    # merging its blocks into 64-scalar column-window SUPER-slots
+    # (cw = 64) divides the dominant per-slot v-gather count by the
+    # merge factor (road networks measure ~4x; webgraphs/random ~1x and
+    # keep cw = 8, since the 8x denser coefficient slabs would cost more
+    # than the gathers they save). Measured on v5e: per-index cost is
+    # IDENTICAL for (8, n) lane gathers and 64-wide row/lane gathers —
+    # only fewer indices win (scratch/meas_r3_spmv_gather round 3).
     sell_dense: list = []
     sell_bcol: list = []
     sell_ks: list = []
     out_gather = None
     sell_rows = 0
+    cw = 8
+    if (sell_unit is None and forced_groups is None and col_shift == 0
+            and len(rows)):
+        br0 = rows >> 3
+        nblk = len(np.unique(br0 * np.int64(nbc) + (cols >> 3)))
+        nwin = len(np.unique(br0 * np.int64(cdiv(nbc, 8)) + (cols >> 6)))
+        if (nblk >= 2 * nwin
+                and nwin * 512 * np_dtype.itemsize <= (2 << 30)):
+            cw = 64
+    elif sell_unit is not None:
+        cw = int(sell_unit)
     if len(rows) or forced_groups:
+        ncu = cdiv(m.num_cols, cw)      # column units (cw scalars each)
         br = rows >> 3
-        bc = cols >> 3
-        # slot order (j, i): sublane j*8+i so the j-contraction is a
-        # contiguous 8-sublane slice per term.
-        slot = (cols & 7) * 8 + (rows & 7)
-        bid = br * nbc + bc
+        bc = cols // cw
+        # slot order (j, i): sublane j*8+i so the contraction is a
+        # contiguous 8-sublane slice per term (j runs over the cw window
+        # scalars).
+        slot = (cols % cw) * 8 + (rows & 7)
+        bid = br * ncu + bc
         order = np.argsort(bid, kind="stable")
         br, bc, slot, vals, bid = (
             x[order] for x in (br, bc, slot, vals, bid)
         )
         ublocks, binv = np.unique(bid, return_inverse=True)
-        ubr = (ublocks // nbc).astype(np.int64)
-        ubc = (ublocks % nbc).astype(np.int64)
+        ubr = (ublocks // ncu).astype(np.int64)
+        ubc = (ublocks % ncu).astype(np.int64)
         row_count = np.bincount(ubr, minlength=nbr)
 
         # SELL-sigma: sort block rows by descending count; empty rows drop.
@@ -265,19 +288,19 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
                 (0,), bool
             )
             ub_sel = np.nonzero(sel)[0]
-            dense_g = np.zeros((cap, kg, 64, SELL_C), np_dtype)
-            bcol_g = np.full((cap, kg, SELL_C), nbc, np.int32)
+            dense_g = np.zeros((cap, kg, cw * 8, SELL_C), np_dtype)
+            bcol_g = np.full((cap, kg, SELL_C), ncu, np.int32)
             if len(ub_sel):
                 cl = local_of_chunk[chunk[ub_sel]]
                 kk = krank[ub_sel]
                 ll = lane[ub_sel]
                 bcol_g[cl, kk, ll] = ubc[ub_sel]
-                # scatter scalars of the selected blocks
+                # scatter scalars of the selected slots
                 s_sel = sel[binv]
                 loc = np.searchsorted(ub_sel, binv[s_sel])
                 dense_g[cl[loc], kk[loc], slot[s_sel], ll[loc]] = vals[s_sel]
             sell_dense.append(jnp.asarray(np.ascontiguousarray(
-                dense_g.reshape(cap, kg, 8, 8, SELL_C)
+                dense_g.reshape(cap, kg, cw, 8, SELL_C)
                 .transpose(2, 0, 1, 3, 4)
             )))
             sell_bcol.append(jnp.asarray(bcol_g.reshape(-1)))
@@ -304,11 +327,6 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
         sell_dense=tuple(sell_dense), sell_bcol=tuple(sell_bcol),
         sell_ks=tuple(sell_ks),
         out_gather=out_gather, sell_rows=sell_rows,
-        # wide8 coarsens the dominant per-slot v gather 8x (one index
-        # per 8 block columns + a fused sublane selection); the lane
-        # scheme only wins when slots are very few relative to the
-        # selection's extra VPU passes — keep it for tiny SELL tiers
-        sell_gather=("wide8" if sell_rows >= 1024 else "lane"),
     )
 
 

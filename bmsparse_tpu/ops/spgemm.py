@@ -522,9 +522,39 @@ def _plan_sell_device(
     bmin_m = jnp.where(counts > 0, nat_bmin, big)
     bmax_m = jnp.where(counts > 0, nat_bmax, -1)
 
+    # Class-aligned sigma padding: route the planner's padding blocks
+    # (counts == 0) to the END of each count class so every class
+    # occupies a 128-multiple of slots and no chunk straddles two
+    # classes. Without this, the one straddling chunk per class boundary
+    # spans the WHOLE operand table (the next class restarts amin near
+    # 0) and — because the window width is the max over a group's slabs
+    # — disables the windowed gather for the entire K-group (measured:
+    # band2M/fem1M windowed only their k=1 groups). Padding lands after
+    # all real blocks of its class via amin = big; classes beyond the
+    # bucket list (raw counts > _K_BUCKETS[-1]) get no padding and
+    # degrade to the old straddle, as does a plan whose padding slots
+    # run out (nbc_pad - nbc < total needed) — correctness is
+    # unaffected either way, only window engagement.
+    buckets_desc = buckets[::-1]
+    sizes = jnp.sum(
+        kb_blk[None, :] == buckets_desc[:, None], axis=1,
+        dtype=jnp.int32)                                  # (n_buckets,)
+    pc = jnp.where(sizes > 0, (-sizes) % 128, 0)
+    cumi = jnp.cumsum(pc)                                 # inclusive
+    jpad = b_iota - nbc                                   # <0 for real
+    cls_idx = jnp.sum(
+        jpad[:, None] >= cumi[None, :], axis=1, dtype=jnp.int32)
+    kb_pad = jnp.where(
+        cls_idx < buckets_desc.shape[0],
+        jnp.take(buckets_desc, jnp.clip(cls_idx, 0,
+                                        buckets_desc.shape[0] - 1)),
+        0,
+    )
+    key_kb = jnp.where(counts > 0, kb_blk, jnp.where(jpad >= 0, kb_pad, 0))
+
     (_, amin_s, _, starts_sig, ends_sig, cnt_sig, nat_of_sig,
      sig_hi, sig_lo, sig_off, amax_s, bmin_s, bmax_s) = jax.lax.sort(
-        (-kb_blk, amin_key, b_iota,
+        (-key_kb, amin_key, b_iota,
          starts, ends, counts, b_iota,
          nat_hi, nat_lo, nat_off, amax_m, bmin_m, bmax_m),
         num_keys=3,
@@ -1201,39 +1231,6 @@ def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
         p.win, p.win_starts = _plan_windows(
             p.groups, amin_c, amax_c, bmin_c, bmax_c,
             p.a_flat.shape[0], p.b_flat.shape[0])
-        # per-group slot operand tables + stacked compress columns —
-        # PLAN data (built once per structure; the round-2 design
-        # rebuilt the slots and row-gathered keys_tbl every multiply)
-        sent_a = p.a_flat.shape[0]
-        sent_b = p.b_flat.shape[0]
-        tas = []
-        tbs = []
-        sig_st = [[], [], []]
-        for kg, c0, c1 in p.groups:
-            ch = c1 - c0
-            ch_pad = bucket_size(ch, minimum=1)
-            ta, tb = _gather_group_slots(
-                keys_tbl, starts_sig, cnt_sig,
-                jnp.int32(c0), ch_pad, kg, sent_a, sent_b,
-            )
-            tas.append(ta)
-            tbs.append(tb)
-            lo_r = c0 * 128
-            real = min(ch * 128, max(p.nbc_pad - lo_r, 0))
-            for i in range(3):
-                seg = jax.lax.slice(sig_cols[i], (lo_r,),
-                                    (lo_r + real,))
-                if real < ch_pad * 128:
-                    seg = jnp.concatenate([
-                        seg,
-                        jnp.zeros((ch_pad * 128 - real,), jnp.int32)])
-                sig_st[i].append(seg)
-        p.tas, p.tbs = tuple(tas), tuple(tbs)
-        p.sig_st = tuple(
-            (c[0] if len(c) == 1 else jnp.concatenate(c))
-            if c else jnp.zeros((1,), jnp.int32)
-            for c in sig_st
-        )
         # compress plan: gather-fold when contributor runs are short and
         # padding stays bounded, else the row scatter-add. The fold's
         # gathers read the (R, 128) packed-row table — past ~100 MB
@@ -1249,43 +1246,95 @@ def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
             and t_rows_pad * p.jmax <= max(4 * r_rows, 1)
             and r_rows <= _FOLD_MAX_ROWS
         )
-        if use_fold:
-            chunk_base = np.full((nchunk,), r_rows, np.int64)
-            base = 0
-            for kg, c0, c1 in p.groups:
-                ch_pad = bucket_size(c1 - c0, minimum=1)
-                chunk_base[c0:c1] = base + (
-                    np.arange(c1 - c0, dtype=np.int64) * 128)
-                base += ch_pad * 128
-            p.g_tbl = _compress_fold_plan(
-                nat_cols[4], nat_of_sig,
-                jnp.asarray(chunk_base, jnp.int32),
-                jnp.int32(p.num_c_blocks),
-                j_max=p.jmax, t_rows_pad=t_rows_pad)
-            p.compress_mode = "fold"
-        else:
-            p.g_tbl = jnp.zeros((1, 1), jnp.int32)
-            p.compress_mode = "scatter"
-
-    # natural-order container fields, sliced down to a bucketed block
-    # count (nbc_pad is task-sized — an upper bound — but the container
-    # handed to the user should not carry task-scale padding)
-    p.nb_pad_c = min(
-        round_up(max(bucket_size(max(p.num_c_blocks, 1)), 128), 128),
-        p.nbc_pad,
-    )
-    nbp = p.nb_pad_c
-    b_iota = jnp.arange(nbp, dtype=jnp.int32)
-    valid_b = b_iota < p.num_c_blocks
-    p.cbrow = jnp.where(valid_b, nat_cols[0][:nbp],
-                        jnp.int32(a.block_rows))
-    p.cbcol = jnp.where(valid_b, nat_cols[1][:nbp], 0)
-    p.c_hi = jnp.where(valid_b, nat_cols[2][:nbp], 0).astype(jnp.uint32)
-    p.c_lo = jnp.where(valid_b, nat_cols[3][:nbp], 0).astype(jnp.uint32)
-    p.c_off = jnp.where(
-        valid_b, nat_cols[4][:nbp], jnp.int32(max(p.num_c_nnz - 1, 0))
-    )
+        chunk_base = np.full((nchunk,), r_rows, np.int64)
+        base = 0
+        for kg, c0, c1 in p.groups:
+            ch_pad = bucket_size(c1 - c0, minimum=1)
+            chunk_base[c0:c1] = base + (
+                np.arange(c1 - c0, dtype=np.int64) * 128)
+            base += ch_pad * 128
+        p.compress_mode = "fold" if use_fold else "scatter"
+        p.nb_pad_c = min(
+            round_up(max(bucket_size(max(p.num_c_blocks, 1)), 128), 128),
+            p.nbc_pad,
+        )
+        # plan stage 2 as ONE jitted dispatch (slot tables, stacked
+        # compress columns, fold table, container fields) — per-call
+        # submission latency on the tunneled runtime makes a dozen small
+        # dispatches cost real wall time in one-shot spgemm()
+        (p.tas, p.tbs, p.sig_st, p.g_tbl,
+         p.cbrow, p.cbcol, c_hi, c_lo, p.c_off) = _plan_stage2(
+            keys_tbl, starts_sig, cnt_sig, sig_cols, nat_cols,
+            nat_of_sig, jnp.asarray(chunk_base, jnp.int32),
+            jnp.int32(p.num_c_blocks), jnp.int32(p.num_c_nnz),
+            groups=tuple(p.groups),
+            sent_a=p.a_flat.shape[0], sent_b=p.b_flat.shape[0],
+            j_max=(p.jmax if use_fold else 0),
+            t_rows_pad=t_rows_pad, nb_pad_c=p.nb_pad_c,
+            block_rows_a=a.block_rows,
+        )
+        p.c_hi = c_hi.astype(jnp.uint32)
+        p.c_lo = c_lo.astype(jnp.uint32)
     return p
+
+
+@partial(jax.jit, static_argnames=(
+    "groups", "sent_a", "sent_b", "j_max", "t_rows_pad", "nb_pad_c",
+    "block_rows_a"))
+def _plan_stage2(
+    keys_tbl, starts_sig, cnt_sig, sig_cols, nat_cols, nat_of_sig,
+    chunk_base, nbc, nnzc,
+    groups: tuple, sent_a: int, sent_b: int, j_max: int,
+    t_rows_pad: int, nb_pad_c: int, block_rows_a: int,
+):
+    """Everything the plan derives AFTER the packet, in one dispatch:
+    per-group slot operand tables, stacked sigma compress columns, the
+    fold contributor table (j_max = 0 means scatter mode — a dummy is
+    returned), and the masked natural-order container fields."""
+    nbc_pad = starts_sig.shape[0]
+    tas = []
+    tbs = []
+    sig_st = [[], [], []]
+    for kg, c0, c1 in groups:
+        ch = c1 - c0
+        ch_pad = bucket_size(ch, minimum=1)
+        ta, tb = _gather_group_slots(
+            keys_tbl, starts_sig, cnt_sig,
+            jnp.int32(c0), ch_pad, kg, sent_a, sent_b,
+        )
+        tas.append(ta)
+        tbs.append(tb)
+        lo_r = c0 * 128
+        real = min(ch * 128, max(nbc_pad - lo_r, 0))
+        for i in range(3):
+            seg = jax.lax.slice(sig_cols[i], (lo_r,), (lo_r + real,))
+            if real < ch_pad * 128:
+                seg = jnp.concatenate([
+                    seg, jnp.zeros((ch_pad * 128 - real,), jnp.int32)])
+            sig_st[i].append(seg)
+    sig_st_t = tuple(
+        (c[0] if len(c) == 1 else jnp.concatenate(c))
+        if c else jnp.zeros((1,), jnp.int32)
+        for c in sig_st
+    )
+    if j_max > 0:
+        g_tbl = _compress_fold_plan(
+            nat_cols[4], nat_of_sig, chunk_base, nbc,
+            j_max=j_max, t_rows_pad=t_rows_pad)
+    else:
+        g_tbl = jnp.zeros((1, 1), jnp.int32)
+    b_iota = jnp.arange(nb_pad_c, dtype=jnp.int32)
+    valid_b = b_iota < nbc
+    cbrow = jnp.where(valid_b, nat_cols[0][:nb_pad_c],
+                      jnp.int32(block_rows_a))
+    cbcol = jnp.where(valid_b, nat_cols[1][:nb_pad_c], 0)
+    c_hi = jnp.where(valid_b, nat_cols[2][:nb_pad_c], 0)
+    c_lo = jnp.where(valid_b, nat_cols[3][:nb_pad_c], 0)
+    c_off = jnp.where(
+        valid_b, nat_cols[4][:nb_pad_c],
+        jnp.maximum(nnzc - 1, 0).astype(jnp.int32))
+    return (tuple(tas), tuple(tbs), sig_st_t, g_tbl,
+            cbrow, cbcol, c_hi, c_lo, c_off)
 
 
 # ---------------------------------------------------------------------------

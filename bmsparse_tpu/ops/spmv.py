@@ -138,8 +138,7 @@ def _spmv_prepared(p, v: jax.Array, dia_impl: str = "xla") -> jax.Array:
 
     if p.sell_ks:
         u_sell = sell_apply(
-            p.sell_dense, p.sell_bcol, p.out_gather, vpad, nbc,
-            gather=p.sell_gather,
+            p.sell_dense, p.sell_bcol, p.out_gather, vpad, nbc
         )                                              # (nbr, 8)
         u = u + u_sell.reshape(npad)
 
@@ -222,80 +221,55 @@ def sell_apply(
     nbc: int,
     col_base=None,
     global_sentinel: int | None = None,
-    gather: str = "lane",
 ):
     """SELL-tier contribution: (block_rows, 8) row-major.
 
-    Per K-group: one v-segment gather per slot, a fused multiply-reduce
-    over (j, k), a lane->sublane transpose; then the inverse-permutation
-    row gather places rows (fill rows -> 0).
+    Per K-group: ONE v-segment lane gather per slot, a fused
+    multiply-reduce over (window scalar, k), a lane->sublane transpose;
+    then the inverse-permutation row gather places rows (fill rows -> 0).
 
-    gather selects the v access scheme:
-      * "lane"  — one lane gather per slot from a (8, nbc+1) table.
-      * "wide8" — gather-granularity coarsening: ONE index per slot into
-        a (64, nbc/8+1) table covering EIGHT block columns (TPU gathers
-        cost per index, not per byte), then an 8-way sublane selection
-        by bcol%8 that fuses into the product FMAs. Cuts the dominant
-        per-index cost 8x on scattered structures (web/road/blockdense).
+    The slot granularity is encoded in the plan arrays (dense_g's leading
+    axis): cw = 8 means one slot per 8x8 block (v table (8, nbc+1)),
+    cw = 64 means super-slots merging a row's blocks that share one
+    64-scalar column window (v table (64, nbc/8+1)) — 1/merge-factor as
+    many gather indices, the round-3 lever for column-clustered
+    structures (v5e gathers cost per index, not per byte: 64-wide and
+    8-wide gathers measured the same 0.40 Gidx/s on web256k).
 
     col_base/global_sentinel: multi-chip halo mode — bcol indices are
     GLOBAL block columns while vpad is a shard-local window starting at
     block column col_base (traced); sentinel (= the global block-column
-    count) remaps to the window's zero column.
+    count) remaps to the window's zero column. Halo plans always use
+    cw = 8 (window starts need not be 64-aligned across shards).
     """
     cdt = jnp.promote_types(sell_dense[0].dtype, jnp.float32)
-    nbc8 = cdiv(nbc, 8)
-    if gather == "wide8":
-        # v as (64, nbc8+1): row r*8+j holds v[(8c+r)*8+j] at lane c.
-        vflat = vpad[: nbc * BLOCK_WIDTH]
-        if nbc8 * 64 != nbc * BLOCK_WIDTH:
-            vflat = jnp.concatenate(
-                [vflat, jnp.zeros((nbc8 * 64 - nbc * 8,), cdt)])
-        v8 = jnp.concatenate(
-            [vflat.reshape(nbc8, 64).T, jnp.zeros((64, 1), cdt)], axis=1)
-    else:
-        # v as (8, nbc+1): lanes = block columns, one zero sentinel col.
-        v2 = jnp.concatenate(
-            [
-                vpad[: nbc * BLOCK_WIDTH].reshape(nbc, BLOCK_WIDTH).T,
-                jnp.zeros((BLOCK_WIDTH, 1), cdt),
-            ],
-            axis=1,
-        )
+    cw = sell_dense[0].shape[0]
+    ncu = cdiv(nbc * BLOCK_WIDTH, cw)   # column units of cw scalars
+    # v as (cw, ncu+1): lanes = column units, one zero sentinel column.
+    vflat = vpad[: nbc * BLOCK_WIDTH]
+    if ncu * cw != vflat.shape[0]:
+        vflat = jnp.concatenate(
+            [vflat, jnp.zeros((ncu * cw - vflat.shape[0],), cdt)])
+    vtab = jnp.concatenate(
+        [vflat.reshape(ncu, cw).T, jnp.zeros((cw, 1), cdt)], axis=1)
     parts = []
     for dense_g, bcol_g in zip(sell_dense, sell_bcol):
         if col_base is not None:
             bcol_g = jnp.clip(
                 jnp.where(
-                    bcol_g == global_sentinel, jnp.int32(nbc),
+                    bcol_g == global_sentinel, jnp.int32(ncu),
                     bcol_g - col_base,
                 ),
-                0, nbc,
+                0, ncu,
             )
-        _, ch, kg, _, lanes = dense_g.shape
-        if gather == "wide8":
-            sent = bcol_g >= nbc
-            i8 = jnp.where(sent, nbc8, bcol_g >> 3)
-            m8 = jnp.where(sent, 0, bcol_g & 7)
-            g = jnp.take(v8, i8, axis=1)                  # (64, N)
-            # 8-way sublane selection: vseg[j] = g[m8*8 + j] — all
-            # lane-aligned selects, fused with the product below
-            vs = []
-            for j in range(BLOCK_WIDTH):
-                acc = jnp.where(m8 == 0, g[j], 0)
-                for r in range(1, 8):
-                    acc = jnp.where(m8 == r, g[r * 8 + j], acc)
-                vs.append(acc)
-            vseg = jnp.stack(vs).reshape(
-                BLOCK_WIDTH, ch, kg, 1, lanes)
-        else:
-            # flat-index lane gather, then a free lane-split reshape; the
-            # j-major dense layout lines up without a runtime transpose
-            vseg = jnp.take(v2, bcol_g, axis=1).reshape(
-                BLOCK_WIDTH, ch, kg, 1, lanes
-            )
-        # single fused multiply-reduce over (j, k) — an unrolled j-loop
-        # re-reads the accumulator 8x (measured 20% slower)
+        cw_g, ch, kg, _, lanes = dense_g.shape
+        # flat-index lane gather, then a free lane-split reshape; the
+        # window-major dense layout lines up without a runtime transpose
+        vseg = jnp.take(vtab, bcol_g, axis=1).reshape(
+            cw_g, ch, kg, 1, lanes
+        )
+        # single fused multiply-reduce over (window, k) — an unrolled
+        # loop re-reads the accumulator (measured 20% slower)
         contrib = jnp.sum(dense_g * vseg, axis=(0, 2))       # (ch, 8, 128)
         parts.append(
             jnp.transpose(contrib, (0, 2, 1)).reshape(-1, BLOCK_HEIGHT)

@@ -104,6 +104,7 @@ def prepare_sharded(sm: ShardedBmSparse) -> ShardedPrepared:
             lm,
             force_layout=(forced_dia, None),
             col_shift=s * bpr * BLOCK_HEIGHT,
+            sell_unit=8,
         )
         shard_plans_tmp.append(p)
         counts_by_k: dict = {}
@@ -120,6 +121,7 @@ def prepare_sharded(sm: ShardedBmSparse) -> ShardedPrepared:
             lm,
             force_layout=(forced_dia, forced_groups),
             col_shift=s * bpr * BLOCK_HEIGHT,
+            sell_unit=8,
         )
         for s, lm in enumerate(locals_)
     ]

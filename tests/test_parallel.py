@@ -273,3 +273,25 @@ def test_sharded_product_skew_fallback():
     c_sh = sharded_multiply(spp, make_mesh(8)).to_bmsparse()
     for x, y in zip(c_ref.generate_coo(), c_sh.generate_coo()):
         np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6)
+
+
+def test_scaling_report_task_budget_guard():
+    """The scaling report must refuse (with a recorded reason) SpGEMM
+    planning whose A@A task volume exceeds the budget — a 256k-row
+    webgraph estimates 131M tasks, which can neither be planned nor
+    simulated on the CPU mesh (ref harness: unconditional sweep)."""
+    from bmsparse_tpu.cli.scaling import (
+        _estimate_spgemm_tasks, build_report,
+    )
+
+    m, ref = _make((512, 512), 0.02, seed=5)
+    est = _estimate_spgemm_tasks(m)
+    assert est > 0
+    v = jnp.asarray(
+        np.random.default_rng(0).standard_normal(512).astype(np.float32))
+    rep = build_report(m, [2], v, make_mesh, iters=1,
+                       spgemm_task_budget=1)
+    assert rep["spgemm"] == []
+    assert rep["spgemm_skipped"]["estimated_tasks"] == est
+    rep2 = build_report(m, [2], v, make_mesh, iters=1)
+    assert rep2["spgemm"] and "spgemm_skipped" not in rep2

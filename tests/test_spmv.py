@@ -161,30 +161,54 @@ def test_real_structure_families_spmv():
                                    err_msg=name)
 
 
-def test_sell_wide8_gather_matches_lane():
-    """Gather-granularity coarsening (wide8: one index per 8 block
-    columns + fused sublane selection) must be numerically identical to
-    the per-slot lane gather, including non-multiple-of-64 columns and
-    sentinel padding slots."""
-    import dataclasses as dc
-
+def test_sell_win64_superslots_match_blocks():
+    """Super-slot SELL (cw=64: one gather per 64-scalar column window,
+    merging a row's clustered blocks) must agree with the per-block
+    (cw=8) plan, and the auto policy must pick cw=64 only when the
+    merge factor justifies it."""
     from bmsparse_tpu.ops.plan import prepare
 
     rng = np.random.default_rng(31)
-    for n in (4096, 1000):
-        nnz = n * 6
-        flat = rng.choice(n * n, size=nnz, replace=False)
-        rows, cols = np.divmod(flat, n)
-        vals = rng.standard_normal(nnz).astype(np.float32)
-        order = np.lexsort((cols, rows))
-        m = coo_to_bmsparse(
-            rows[order].astype(np.int32), cols[order].astype(np.int32),
-            vals[order], (n, n), backend="host")
-        v = rng.standard_normal(n).astype(np.float32)
-        p = prepare(m)
-        u_wide = spmv(dc.replace(p, sell_gather="wide8"), v)
-        u_lane = spmv(dc.replace(p, sell_gather="lane"), v)
-        np.testing.assert_array_equal(np.asarray(u_wide),
-                                      np.asarray(u_lane))
-        np.testing.assert_allclose(
-            np.asarray(u_wide), m.to_scipy() @ v, rtol=1e-4, atol=1e-4)
+    # clustered-column structure (road-like): blocks of each row share
+    # 64-scalar windows -> the auto policy should engage super-slots
+    n = 8192
+    deg = 6
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    centers = rng.integers(0, n, size=n)
+    cols = np.clip(centers[rows] + rng.integers(0, 48, size=rows.shape[0]),
+                   0, n - 1)
+    key = np.unique(rows * n + cols)
+    rows, cols = np.divmod(key, n)
+    vals = rng.standard_normal(rows.shape[0]).astype(np.float32)
+    m = coo_to_bmsparse(rows.astype(np.int32), cols.astype(np.int32),
+                        vals, (n, n), backend="host")
+    v = rng.standard_normal(n).astype(np.float32)
+    ref = m.to_scipy() @ v
+
+    p_auto = prepare(m)
+    p_blk = prepare(m, sell_unit=8)
+    p_win = prepare(m, sell_unit=64)
+    assert p_win.sell_dense and p_win.sell_dense[0].shape[0] == 64
+    assert p_blk.sell_dense[0].shape[0] == 8
+    # fewer gather indices under super-slots
+    assert sum(b.size for b in p_win.sell_bcol) < sum(
+        b.size for b in p_blk.sell_bcol)
+    for p in (p_auto, p_blk, p_win):
+        u = spmv(p, v)
+        np.testing.assert_allclose(np.asarray(u), ref, rtol=1e-4,
+                                   atol=1e-4)
+    # scattered columns (web-like): the policy must keep cw=8
+    nnz = n * 4
+    flat = rng.choice(n * n, size=nnz, replace=False)
+    r2, c2 = np.divmod(flat, n)
+    v2 = rng.standard_normal(nnz).astype(np.float32)
+    order = np.lexsort((c2, r2))
+    m2 = coo_to_bmsparse(r2[order].astype(np.int32),
+                         c2[order].astype(np.int32), v2[order], (n, n),
+                         backend="host")
+    p2 = prepare(m2)
+    if p2.sell_dense:
+        assert p2.sell_dense[0].shape[0] == 8
+    u2 = spmv(p2, np.asarray(v))
+    np.testing.assert_allclose(np.asarray(u2), m2.to_scipy() @ v,
+                               rtol=1e-4, atol=1e-4)
