@@ -910,11 +910,13 @@ def _compress_fold(
     w_ext = jnp.concatenate([w, jnp.zeros((1, 128), jnp.float32)])
     t_rows = -(-num_c_nnz // 64) if num_c_nnz else 1
     j_n = g_tbl.shape[1]
-    out128 = jnp.take(
-        w_ext, jnp.minimum(g_tbl[:, 0], w.shape[0]), axis=0)
-    for j in range(1, j_n):
-        out128 = out128 + jnp.take(
-            w_ext, jnp.minimum(g_tbl[:, j], w.shape[0]), axis=0)
+    # ONE fused gather for all J contributors (J separate takes each
+    # materialize a (t_rows, 128) intermediate; fused, XLA emits one
+    # gather + one reduce). mode="clip" skips take's default fill-select
+    # pass — indices are already bounded by the min below.
+    idx = jnp.minimum(g_tbl, w.shape[0]).reshape(-1)
+    out128 = jnp.take(w_ext, idx, axis=0, mode="clip").reshape(
+        -1, j_n, 128).sum(axis=1)
     return _fold_out(out128, t_rows, num_c_nnz)
 
 
