@@ -259,6 +259,15 @@ def test_spgemm_windowed_gathers(monkeypatch):
     pp = prepare_product(a, bt)
     assert any(wa or wb for wa, wb in pp.plan.win), (
         "window policy never engaged — the test lost its subject")
+    # class-aligned sigma padding regression: on banded structure EVERY
+    # multi-chunk K-group must engage both-side windows — before the
+    # fix, the chunk straddling each sigma count-class boundary spanned
+    # the whole operand table and disabled its group's windows
+    # (measured: band2M k=3/k=2 and fem1M got win=(0,0))
+    for (kg, c0, c1), (wa, wb) in zip(pp.plan.groups, pp.plan.win):
+        if c1 - c0 >= 2:
+            assert wa > 0 and wb > 0, (
+                f"group k={kg} ch={c1-c0} lost its windows: {(wa, wb)}")
     c = pp()
     diff = abs(c.to_scipy().tocsr() - ref)
     assert (diff.max() if diff.nnz else 0.0) < 1e-3
