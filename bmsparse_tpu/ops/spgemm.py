@@ -630,11 +630,12 @@ def _slab_from_gathered(ga, gb, k: int):
     s = ga.shape[0]
     ga = jnp.moveaxis(ga, 2, 3).reshape(s, k, 8, 8, 128)  # [., ., i, j, lane]
     gb = jnp.moveaxis(gb, 2, 3).reshape(s, k, 8, 8, 128)  # [., ., j, m, lane]
-    acc = jnp.zeros((s, k, 8, 8, 128), jnp.float32)
+    acc_dt = jnp.promote_types(ga.dtype, jnp.float32)     # bf16 -> f32, f64 stays
+    acc = jnp.zeros((s, k, 8, 8, 128), acc_dt)
     for j in range(8):
         acc = acc + (
-            ga[:, :, :, j, None, :].astype(jnp.float32)
-            * gb[:, :, None, j, :, :].astype(jnp.float32)
+            ga[:, :, :, j, None, :].astype(acc_dt)
+            * gb[:, :, None, j, :, :].astype(acc_dt)
         )
     csum = jnp.sum(acc, axis=1)                          # (s, 8, 8, 128)
     return jnp.transpose(csum, (0, 3, 1, 2)).reshape(s * 128, 64)
@@ -666,7 +667,7 @@ def _numeric_sell_group(a_t, b_t, ta, tb, impl: str = "sell") -> jax.Array:
     """One K-group, scanned in slabs to bound gather transients
     (full-table lane gathers; see _numeric_group_windowed for the
     windowed variant that large operand tables route through)."""
-    if impl == "pallas":
+    if impl == "pallas" and a_t.dtype != jnp.float64:
         from .pallas.spgemm_kernel import numeric_sell_pallas
 
         return numeric_sell_pallas(a_t, b_t, ta, tb)
@@ -863,8 +864,8 @@ def _fold_out(out128, t_rows: int, num_c_nnz: int) -> jax.Array:
     """Split 128-wide packed rows back into 64-lane output rows: row q's
     lanes [64,128) belong to output row q+1."""
     carry = jnp.concatenate(
-        [jnp.zeros((1, 64), jnp.float32), out128[: t_rows - 1, 64:]]
-    ) if t_rows > 1 else jnp.zeros((t_rows, 64), jnp.float32)
+        [jnp.zeros((1, 64), out128.dtype), out128[: t_rows - 1, 64:]]
+    ) if t_rows > 1 else jnp.zeros((t_rows, 64), out128.dtype)
     out = out128[:t_rows, :64] + carry
     return out.reshape(-1)[:num_c_nnz]
 
@@ -882,7 +883,7 @@ def _compress_core(c_rows, hi, lo, off, num_c_nnz: int) -> jax.Array:
     # + a Pallas MXU one-hot scatter-matmul (10.0 vs 6.5 ms numeric
     # total — the slotting row-gathers cost more than the scatter they
     # replace; TPU row gathers are per-index, not per-byte).
-    out128 = jnp.zeros((t_rows + 1, 128), jnp.float32).at[b_row].add(
+    out128 = jnp.zeros((t_rows + 1, 128), w.dtype).at[b_row].add(
         w, mode="drop"
     )
     return _fold_out(out128, t_rows, num_c_nnz)
@@ -907,7 +908,7 @@ def _compress_fold(
     plan measures J small (banded/dense structures); skewed structures
     (J large) keep the scatter."""
     w, _ = _pack_rows(c_rows, hi, lo, off)
-    w_ext = jnp.concatenate([w, jnp.zeros((1, 128), jnp.float32)])
+    w_ext = jnp.concatenate([w, jnp.zeros((1, 128), w.dtype)])
     t_rows = -(-num_c_nnz // 64) if num_c_nnz else 1
     j_n = g_tbl.shape[1]
     # ONE fused gather for all J contributors (J separate takes each
@@ -1012,7 +1013,8 @@ def _numeric_xla(
         )
         return acc, None
 
-    init = jnp.zeros((num_c_blocks, 64), jnp.float32)
+    init = jnp.zeros(
+        (num_c_blocks, 64), jnp.promote_types(a_flat.dtype, jnp.float32))
     if nchunks == 1:
         acc, _ = step(init, (a_idx[0], b_idx[0], c_seg[0]))
         return acc
@@ -1048,7 +1050,7 @@ def _numeric_and_compress(
         c_offsets[:num_c_blocks, None] + slot,
         num_c_nnz,  # out of range -> dropped
     )
-    c_values = jnp.zeros((num_c_nnz,), jnp.float32).at[pos.reshape(-1)].set(
+    c_values = jnp.zeros((num_c_nnz,), c_dense.dtype).at[pos.reshape(-1)].set(
         c_dense.reshape(-1), mode="drop"
     )
     return c_values
@@ -1424,7 +1426,9 @@ def _numeric_from_plan(p: _ProductPlan, impl: str) -> jax.Array:
     """Numeric phase + bit-order compress, given a structure plan."""
     if impl == "xla":
         if p.num_alive == 0:
-            return jnp.zeros((p.nnz_pad,), jnp.float32)
+            return jnp.zeros(
+                (p.nnz_pad,),
+                jnp.promote_types(p.a_flat.dtype, jnp.float32))
         # chunked segment-sum numeric (the jit-safe variant the
         # shard_map path uses)
         return _numeric_and_compress(
@@ -1442,7 +1446,8 @@ def _numeric_from_plan(p: _ProductPlan, impl: str) -> jax.Array:
             tuple(p.groups), impl, p.nnz_pad,
             win=p.win, compress=p.compress_mode,
         )
-    return jnp.zeros((p.nnz_pad,), jnp.float32)
+    return jnp.zeros(
+        (p.nnz_pad,), jnp.promote_types(p.a_flat.dtype, jnp.float32))
 
 
 def _assemble_c(p: _ProductPlan, c_values: jax.Array) -> BmSparse:

@@ -87,6 +87,19 @@ def test_f64_subprocess():
         "import scipy.sparse as sp;"
         "ref = sp.coo_matrix((vals, (rows, cols)), shape=(64, 64)) @ v;"
         "assert np.abs(u - ref).max() < 1e-12, np.abs(u - ref).max();"
+        # SpGEMM must PRESERVE f64 end-to-end (the numeric/compress
+        # stages accumulate in promote_types(operand, f32), so f64
+        # operands stay f64 — they used to silently downcast to f32)
+        "from bmsparse_tpu.ops.spgemm import spgemm;"
+        "sco = m.to_scipy().tocoo();"
+        "bt = coo_to_bmsparse(sco.row.astype(np.int32),"
+        " sco.col.astype(np.int32), sco.data, (64, 64), transposed=True);"
+        "c = spgemm(m, bt);"
+        "assert c.values.dtype == jnp.float64, c.values.dtype;"
+        "rr, cc, vv = (np.asarray(t) for t in c.generate_coo());"
+        "got = sp.coo_matrix((vv, (rr, cc)), shape=(64, 64));"
+        "refc = m.to_scipy() @ m.to_scipy();"
+        "assert abs(got - refc).max() < 1e-12, abs(got - refc).max();"
         "print('f64 OK')"
     )
     out = subprocess.run(
