@@ -56,6 +56,57 @@ def _bucket_k(k: int) -> int:
     return k
 
 
+MAX_SELL_GROUPS = 12     # cap on adaptive per-matrix K classes
+
+
+def _adaptive_k_buckets(chunk_max: "np.ndarray") -> "np.ndarray":
+    """Per-chunk padded depths from an OPTIMAL bucket set fitted to this
+    matrix's chunk-max histogram (<= MAX_SELL_GROUPS distinct values).
+
+    The fixed geometric _K_BUCKETS ladder pads power-law degree
+    structures badly — web256k measured 1.23x slots from bucketing alone
+    while its within-chunk spread was 1.002x (sigma already makes chunks
+    homogeneous; the LADDER was the whole overhead, and slot count is
+    the SpMV gather count, the scattered-tier wall). A small
+    partition DP over the <=few-hundred distinct maxima picks the
+    padded-slot-minimizing bucket values exactly; matrices with few
+    distinct depths (banded/stencil/blockdense) get their exact values
+    back, so only skewed structures change. Used for single-chip plans;
+    the sharded path keeps the fixed ladder so per-shard K classes stay
+    unifiable across shards."""
+    uniq, inv, wts = np.unique(
+        chunk_max, return_inverse=True, return_counts=True)
+    m_u = len(uniq)
+    if m_u <= MAX_SELL_GROUPS:
+        return chunk_max.copy()
+    # weighted suffix-partition DP: cost(i..j) = uniq[j] * sum(w[i..j])
+    G = MAX_SELL_GROUPS
+    wcum = np.concatenate([[0], np.cumsum(wts)])
+    INF = float("inf")
+    f = np.full((m_u + 1, G + 1), INF)
+    arg = np.zeros((m_u + 1, G + 1), np.int64)
+    f[0, 0] = 0.0
+    for j in range(1, m_u + 1):
+        for g in range(1, min(G, j) + 1):
+            # last bucket covers uniq[i..j-1], padded to uniq[j-1]
+            costs = f[:j, g - 1] + int(uniq[j - 1]) * (
+                wcum[j] - wcum[:j])
+            i_best = int(np.argmin(costs))
+            f[j, g] = costs[i_best]
+            arg[j, g] = i_best
+    g_best = int(np.argmin(f[m_u, 1:])) + 1
+    cuts = []
+    j = m_u
+    g = g_best
+    while j > 0:
+        cuts.append(j - 1)              # bucket value index uniq[j-1]
+        j = int(arg[j, g])
+        g -= 1
+    bucket_vals = uniq[np.array(sorted(cuts))]
+    pad_to = bucket_vals[np.searchsorted(bucket_vals, uniq)]
+    return pad_to[inv]
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Prepared:
@@ -231,12 +282,17 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
 
         nchunks = cdiv(len(perm), SELL_C)
         counts_sorted = row_count[perm]
-        # per-chunk padded depth, bucketed to bound the number of groups
-        k_chunk = np.zeros((nchunks,), np.int64)
+        # per-chunk padded depth, bucketed to bound the number of groups:
+        # adaptive (optimal per-matrix classes) for single-chip plans,
+        # the fixed geometric ladder when the layout must unify across
+        # shards (forced/col_shift paths)
+        cm = np.zeros((nchunks,), np.int64)
         for c in range(nchunks):
-            k_chunk[c] = _bucket_k(
-                int(counts_sorted[c * SELL_C : (c + 1) * SELL_C].max())
-            )
+            cm[c] = int(counts_sorted[c * SELL_C : (c + 1) * SELL_C].max())
+        if forced_groups is None and col_shift == 0:
+            k_chunk = _adaptive_k_buckets(cm)
+        else:
+            k_chunk = np.array([_bucket_k(int(k)) for k in cm], np.int64)
         # counts sorted desc => k_chunk non-increasing => groups contiguous
         # per-block placement: chunk, lane, k-rank within its row
         p = row_pos[ubr]                       # position in sorted row order
