@@ -252,22 +252,32 @@ def sell_apply(
             [vflat, jnp.zeros((ncu * cw - vflat.shape[0],), cdt)])
     vtab = jnp.concatenate(
         [vflat.reshape(ncu, cw).T, jnp.zeros((cw, 1), cdt)], axis=1)
-    parts = []
-    for dense_g, bcol_g in zip(sell_dense, sell_bcol):
-        if col_base is not None:
-            bcol_g = jnp.clip(
-                jnp.where(
-                    bcol_g == global_sentinel, jnp.int32(ncu),
-                    bcol_g - col_base,
-                ),
-                0, ncu,
-            )
-        cw_g, ch, kg, _, lanes = dense_g.shape
-        # flat-index lane gather, then a free lane-split reshape; the
-        # window-major dense layout lines up without a runtime transpose
-        vseg = jnp.take(vtab, bcol_g, axis=1).reshape(
-            cw_g, ch, kg, 1, lanes
+    # ONE fused v-gather for ALL K-groups (adaptive depth classes can
+    # mean 10+ groups; per-group takes each pay a kernel dispatch), then
+    # free per-group slices of the result.
+    bcol_all = sell_bcol[0] if len(sell_bcol) == 1 else jnp.concatenate(
+        sell_bcol)
+    if col_base is not None:
+        bcol_all = jnp.clip(
+            jnp.where(
+                bcol_all == global_sentinel, jnp.int32(ncu),
+                bcol_all - col_base,
+            ),
+            0, ncu,
         )
+    vseg_all = jnp.take(vtab, bcol_all, axis=1)       # (cw, total_slots)
+    parts = []
+    off = 0
+    for dense_g, bcol_g in zip(sell_dense, sell_bcol):
+        cw_g, ch, kg, _, lanes = dense_g.shape
+        n_g = bcol_g.shape[0]
+        # static lane slice of the fused gather, then a free lane-split
+        # reshape; the window-major dense layout lines up without a
+        # runtime transpose
+        vseg = jax.lax.slice(
+            vseg_all, (0, off), (cw_g, off + n_g)
+        ).reshape(cw_g, ch, kg, 1, lanes)
+        off += n_g
         # single fused multiply-reduce over (window, k) — an unrolled
         # loop re-reads the accumulator (measured 20% slower)
         contrib = jnp.sum(dense_g * vseg, axis=(0, 2))       # (ch, 8, 128)
