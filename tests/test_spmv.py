@@ -212,3 +212,28 @@ def test_sell_win64_superslots_match_blocks():
     u2 = spmv(p2, np.asarray(v))
     np.testing.assert_allclose(np.asarray(u2), m2.to_scipy() @ v,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_adaptive_k_buckets_dp():
+    """The partition DP must (a) return exact depths when distinct chunk
+    maxima fit the group budget, (b) never pad below a chunk's max,
+    (c) beat or match the fixed geometric ladder on a skewed histogram."""
+    from bmsparse_tpu.ops.plan import (
+        MAX_SELL_GROUPS, _adaptive_k_buckets, _bucket_k,
+    )
+
+    rng = np.random.default_rng(7)
+    # few distinct values -> exact
+    cm = np.array([17, 9, 9, 5, 5, 5, 2, 1], np.int64)
+    np.testing.assert_array_equal(_adaptive_k_buckets(cm), cm)
+    # skewed power-law histogram -> bounded classes, valid, no worse
+    # than the fixed ladder
+    cm = np.sort(rng.zipf(1.5, size=4000).clip(1, 300))[::-1].astype(
+        np.int64)
+    pad = _adaptive_k_buckets(cm)
+    assert np.all(pad >= cm)
+    assert len(np.unique(pad)) <= MAX_SELL_GROUPS
+    fixed = np.array([_bucket_k(int(k)) for k in cm], np.int64)
+    assert pad.sum() <= fixed.sum()
+    # non-increasing input stays non-increasing (groups contiguous)
+    assert np.all(np.diff(pad) <= 0)
