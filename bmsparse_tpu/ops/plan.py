@@ -79,6 +79,17 @@ def _adaptive_k_buckets(chunk_max: "np.ndarray") -> "np.ndarray":
     m_u = len(uniq)
     if m_u <= MAX_SELL_GROUPS:
         return chunk_max.copy()
+    if m_u > 512:
+        # bound the DP to its intended cost: pre-quantize the histogram
+        # to the geometric ladder (<= ~40 rungs), then pick classes
+        # among rungs; the ladder-total guard below keeps the result
+        # no worse than the plain ladder
+        ladder_u = np.array([_bucket_k(int(v)) for v in uniq], np.int64)
+        uniq2, inv2 = np.unique(ladder_u, return_inverse=True)
+        wts = np.bincount(inv2, weights=wts).astype(np.int64)
+        inv = inv2[inv]
+        uniq = uniq2
+        m_u = len(uniq)
     # weighted suffix-partition DP: cost(i..j) = uniq[j] * sum(w[i..j])
     G = MAX_SELL_GROUPS
     wcum = np.concatenate([[0], np.cumsum(wts)])
@@ -104,7 +115,15 @@ def _adaptive_k_buckets(chunk_max: "np.ndarray") -> "np.ndarray":
         g -= 1
     bucket_vals = uniq[np.array(sorted(cuts))]
     pad_to = bucket_vals[np.searchsorted(bucket_vals, uniq)]
-    return pad_to[inv]
+    dp_pad = pad_to[inv]
+    # never worse than the fixed ladder: with the class budget binding
+    # (depths spanning more rungs than MAX_SELL_GROUPS), merged classes
+    # can pad more than the ladder's <=1.5x steps — keep the better one
+    ladder_pad = np.array(
+        [_bucket_k(int(k)) for k in chunk_max], np.int64)
+    if dp_pad.sum() > ladder_pad.sum():
+        return ladder_pad
+    return dp_pad
 
 
 @jax.tree_util.register_dataclass
@@ -289,7 +308,11 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
         cm = np.zeros((nchunks,), np.int64)
         for c in range(nchunks):
             cm[c] = int(counts_sorted[c * SELL_C : (c + 1) * SELL_C].max())
-        if forced_groups is None and col_shift == 0:
+        # sell_unit is not None marks the sharded/halo paths (they pin
+        # cw) — shard 0 has col_shift == 0, so without this check its
+        # pass-1 plan would report adaptive K classes while other
+        # shards report ladder values, corrupting the cross-shard union
+        if forced_groups is None and col_shift == 0 and sell_unit is None:
             k_chunk = _adaptive_k_buckets(cm)
         else:
             k_chunk = np.array([_bucket_k(int(k)) for k in cm], np.int64)

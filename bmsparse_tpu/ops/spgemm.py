@@ -1003,18 +1003,20 @@ def _numeric_xla(
     b_idx = b_idx.reshape(nchunks, chunk)
     c_seg = c_seg.reshape(nchunks, chunk)
 
+    acc_dt = jnp.promote_types(a_flat.dtype, jnp.float32)
+
     def step(acc, operands):
         ai, bi, cs = operands
         blk_a = gather_rows(a_flat, ai)                     # (chunk, 64)
         blk_b = gather_rows(b_flat, bi)                     # (chunk, 64)
-        contrib = block_matmul_flat(blk_a, blk_b, b_transposed=False)
+        contrib = block_matmul_flat(
+            blk_a, blk_b, b_transposed=False, acc_dtype=acc_dt)
         acc = acc + jax.ops.segment_sum(
             contrib, cs, num_segments=num_c_blocks
         )
         return acc, None
 
-    init = jnp.zeros(
-        (num_c_blocks, 64), jnp.promote_types(a_flat.dtype, jnp.float32))
+    init = jnp.zeros((num_c_blocks, 64), acc_dt)
     if nchunks == 1:
         acc, _ = step(init, (a_idx[0], b_idx[0], c_seg[0]))
         return acc

@@ -94,12 +94,16 @@ def test_f64_subprocess():
         "sco = m.to_scipy().tocoo();"
         "bt = coo_to_bmsparse(sco.row.astype(np.int32),"
         " sco.col.astype(np.int32), sco.data, (64, 64), transposed=True);"
-        "c = spgemm(m, bt);"
-        "assert c.values.dtype == jnp.float64, c.values.dtype;"
-        "rr, cc, vv = (np.asarray(t) for t in c.generate_coo());"
-        "got = sp.coo_matrix((vv, (rr, cc)), shape=(64, 64));"
         "refc = m.to_scipy() @ m.to_scipy();"
-        "assert abs(got - refc).max() < 1e-12, abs(got - refc).max();"
+        # BOTH numeric variants must preserve f64 (impl='xla' used to
+        # compute products at f32 via block_matmul_flat's default
+        # acc_dtype while returning a float64-labeled result)
+        "\nfor impl in ('sell', 'xla'):\n"
+        "    c = spgemm(m, bt, impl=impl)\n"
+        "    assert c.values.dtype == jnp.float64, (impl, c.values.dtype)\n"
+        "    rr, cc, vv = (np.asarray(t) for t in c.generate_coo())\n"
+        "    got = sp.coo_matrix((vv, (rr, cc)), shape=(64, 64))\n"
+        "    assert abs(got - refc).max() < 1e-12, (impl, abs(got - refc).max())\n"
         "print('f64 OK')"
     )
     out = subprocess.run(

@@ -295,3 +295,30 @@ def test_scaling_report_task_budget_guard():
     assert rep["spgemm_skipped"]["estimated_tasks"] == est
     rep2 = build_report(m, [2], v, make_mesh, iters=1)
     assert rep2["spgemm"] and "spgemm_skipped" not in rep2
+
+
+def test_sharded_spmv_nonladder_depth():
+    """Shard 0 has col_shift == 0, so the adaptive depth-class gate must
+    also key on the pinned sell_unit — otherwise its pass-1 plan reports
+    adaptive exact K values while other shards report ladder values and
+    the unified forced layout crashes ('forced layout lacks a K group
+    this shard needs'). Repro: 5 blocks/row (a non-ladder depth) in
+    shard 0."""
+    from bmsparse_tpu.parallel.plan import prepare_sharded
+
+    n = 256
+    rows = np.repeat(np.arange(n, dtype=np.int64), 5)
+    # 5 well-separated block columns per scalar row -> depth exactly 5
+    cols = (np.tile(np.arange(5), n) * 48 + rows % 8) % n
+    key = np.unique(rows * n + cols)
+    rows, cols = np.divmod(key, n)
+    vals = np.random.default_rng(3).standard_normal(
+        rows.shape[0]).astype(np.float32)
+    m = coo_to_bmsparse(rows.astype(np.int32), cols.astype(np.int32),
+                        vals, (n, n), backend="host")
+    ref = m.to_scipy()
+    sm = partition(m, 2)
+    sp_plan = prepare_sharded(sm)    # must not raise
+    v = np.random.default_rng(4).standard_normal(n).astype(np.float32)
+    u = np.asarray(sharded_spmv(sp_plan, jnp.asarray(v), make_mesh(2)))
+    np.testing.assert_allclose(u[: n], ref @ v, rtol=1e-4, atol=1e-5)
