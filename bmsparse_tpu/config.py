@@ -49,6 +49,10 @@ class Config:
     # scalar, non-tensor-core variant; src/bmSparse_SPGEMM.cu:1230).
     spgemm_impl: str = os.environ.get("BMSP_SPGEMM_IMPL", "auto")
     spmv_impl: str = os.environ.get("BMSP_SPMV_IMPL", "auto")
+    # Emergency off-switch for the Pallas windowed SELL kernel
+    # (ops/pallas/sell_kernel.py): impl="pallas" then keeps the XLA
+    # gather tier even where the plan built windows.
+    sell_pallas: bool = _env_bool("BMSP_SELL_PALLAS", True)
     # Verbose per-phase timing (ref: VERBOSE flag, src/bmSparse_SPGEMM.cu:835).
     verbose: bool = _env_bool("BMSP_VERBOSE", False)
 

@@ -40,6 +40,7 @@ import numpy as np
 
 from ..config import BLOCK_HEIGHT
 from ..format.bmsparse import BmSparse, cdiv
+from .pallas import sell_kernel as _sk
 
 SELL_C = 128                 # lanes per chunk = VPU lane width
 DIA_MIN_FILL = 0.15          # min diagonal fill to justify a dense pass
@@ -152,6 +153,15 @@ class Prepared:
     sell_dense: tuple = ()
     sell_bcol: tuple = ()
     sell_ks: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    # --- SELL window plan (Pallas kernel, ops/pallas/sell_kernel.py) ---
+    # Per group: sell_ws[g] (chunks_g,) int32 v-window starts in column
+    # units and sell_rel[g] (chunks_g, K_g, 128) int32 window-relative
+    # block columns — or None when the group's chunks don't all fit a
+    # WINDOW_UNITS-wide window (the XLA gather path is used instead).
+    # Padding slots store rel 0: their dense values are zero, so the
+    # gathered lane is multiplied away (no sentinel column needed).
+    sell_ws: tuple = ()
+    sell_rel: tuple = ()
     # Row map: block-row r's SELL output lives at stacked row out_gather[r];
     # rows with no SELL blocks point past the end (taken with fill=0).
     out_gather: jax.Array | None = None   # (block_rows,) int32
@@ -262,6 +272,8 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
     sell_dense: list = []
     sell_bcol: list = []
     sell_ks: list = []
+    sell_ws: list = []
+    sell_rel: list = []
     out_gather = None
     sell_rows = 0
     cw = 8
@@ -294,8 +306,22 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
         row_count = np.bincount(ubr, minlength=nbr)
 
         # SELL-sigma: sort block rows by descending count; empty rows drop.
+        # Secondary key on the single-chip path: the row's minimum block
+        # column, so equal-count rows cluster by column window — this is
+        # what makes per-chunk v windows tight for the Pallas SELL kernel
+        # (ops/pallas/sell_kernel.py) on locally-clustered structures.
+        # (Banded matrices get the same effect from natural order; the
+        # sharded/halo paths keep the natural tie-break so shard layouts
+        # stay reproducible across the unified-statics union.)
         nonempty = np.nonzero(row_count)[0]
-        perm = nonempty[np.argsort(-row_count[nonempty], kind="stable")]
+        if forced_groups is None and col_shift == 0 and sell_unit is None:
+            row_minbc = np.full((nbr,), np.int64(ncu))
+            np.minimum.at(row_minbc, ubr, ubc)
+            perm = nonempty[np.lexsort(
+                (nonempty, row_minbc[nonempty], -row_count[nonempty])
+            )]
+        else:
+            perm = nonempty[np.argsort(-row_count[nonempty], kind="stable")]
         row_pos = np.full((nbr,), -1, np.int64)
         row_pos[perm] = np.arange(len(perm))
 
@@ -362,6 +388,13 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
 
         # stacked-row base of each group
         bases = np.cumsum([0] + [cap * SELL_C for _, cap in groups_spec])
+        # Pallas window eligibility: single-chip f32 plans only (the
+        # sharded/halo paths remap bcol at trace time; f64 has no TPU
+        # vector unit; bf16 dense would double on cast — measured later).
+        win_ok = (
+            forced_groups is None and col_shift == 0 and sell_unit is None
+            and np_dtype == np.float32
+        )
         for g, (kg, cap) in enumerate(groups_spec):
             sel = group_of_chunk[chunk] == g if nchunks else np.zeros(
                 (0,), bool
@@ -384,6 +417,25 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
             )))
             sell_bcol.append(jnp.asarray(bcol_g.reshape(-1)))
             sell_ks.append(kg)
+            # per-chunk v-window plan for the Pallas SELL kernel
+            ws_g = rel_g = None
+            if win_ok and len(ub_sel) and _sk.group_vmem_ok(cw, kg):
+                real = bcol_g != ncu                     # (cap, kg, 128)
+                wmin = np.where(real, bcol_g, 2**30).min(axis=(1, 2))
+                wmax = np.where(real, bcol_g, -1).max(axis=(1, 2))
+                if bool(((wmax - wmin < _sk.WINDOW_UNITS)
+                         | (wmax < 0)).all()):
+                    ncu_pad = _sk.ncu_padded(ncu)
+                    ws = np.minimum(
+                        np.where(wmax < 0, 0, wmin),
+                        ncu_pad - _sk.WINDOW_UNITS,
+                    ).astype(np.int32)
+                    rel = np.where(
+                        real, bcol_g - ws[:, None, None], 0
+                    ).astype(np.int32)
+                    ws_g, rel_g = jnp.asarray(ws), jnp.asarray(rel)
+            sell_ws.append(ws_g)
+            sell_rel.append(rel_g)
 
         sell_rows = int(bases[-1])
         if nchunks:
@@ -405,6 +457,7 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
         dia=dia, dia_offsets=dia_offsets,
         sell_dense=tuple(sell_dense), sell_bcol=tuple(sell_bcol),
         sell_ks=tuple(sell_ks),
+        sell_ws=tuple(sell_ws), sell_rel=tuple(sell_rel),
         out_gather=out_gather, sell_rows=sell_rows,
     )
 

@@ -138,7 +138,8 @@ def _spmv_prepared(p, v: jax.Array, dia_impl: str = "xla") -> jax.Array:
 
     if p.sell_ks:
         u_sell = sell_apply(
-            p.sell_dense, p.sell_bcol, p.out_gather, vpad, nbc
+            p.sell_dense, p.sell_bcol, p.out_gather, vpad, nbc,
+            sell_ws=p.sell_ws, sell_rel=p.sell_rel, mode=dia_impl,
         )                                              # (nbr, 8)
         u = u + u_sell.reshape(npad)
 
@@ -221,6 +222,9 @@ def sell_apply(
     nbc: int,
     col_base=None,
     global_sentinel: int | None = None,
+    sell_ws: tuple = (),
+    sell_rel: tuple = (),
+    mode: str = "xla",
 ):
     """SELL-tier contribution: (block_rows, 8) row-major.
 
@@ -241,35 +245,66 @@ def sell_apply(
     block column col_base (traced); sentinel (= the global block-column
     count) remaps to the window's zero column. Halo plans always use
     cw = 8 (window starts need not be 64-aligned across shards).
+
+    mode="pallas" routes K-groups whose chunks fit a WINDOW_UNITS-wide
+    v window (sell_ws/sell_rel from the plan) to the Pallas windowed
+    kernel (ops/pallas/sell_kernel.py): the per-slot HBM lane gather
+    (~2.5 ns/index) becomes an in-VMEM vector shuffle. Groups without a
+    window plan — and the halo path — keep the fused XLA gather.
     """
+    from .pallas.sell_kernel import ncu_padded, sell_window_group
+
     cdt = jnp.promote_types(sell_dense[0].dtype, jnp.float32)
     cw = sell_dense[0].shape[0]
     ncu = cdiv(nbc * BLOCK_WIDTH, cw)   # column units of cw scalars
-    # v as (cw, ncu+1): lanes = column units, one zero sentinel column.
+    ngroups = len(sell_dense)
+    use_pallas = [
+        mode == "pallas" and col_base is None and cdt == jnp.float32
+        and g < len(sell_rel) and sell_rel[g] is not None
+        and get_config().sell_pallas
+        for g in range(ngroups)
+    ]
+    # v as (cw, lanes): lanes = column units; column ncu (and everything
+    # past it) is zero — the XLA gather's padding sentinel. Windowed
+    # groups DMA (cw, W) lane slices, so pad out to the plan's ncu_pad.
+    n_lanes = ncu_padded(ncu) if any(use_pallas) else ncu + 1
     vflat = vpad[: nbc * BLOCK_WIDTH]
     if ncu * cw != vflat.shape[0]:
         vflat = jnp.concatenate(
             [vflat, jnp.zeros((ncu * cw - vflat.shape[0],), cdt)])
     vtab = jnp.concatenate(
-        [vflat.reshape(ncu, cw).T, jnp.zeros((cw, 1), cdt)], axis=1)
-    # ONE fused v-gather for ALL K-groups (adaptive depth classes can
-    # mean 10+ groups; per-group takes each pay a kernel dispatch), then
-    # free per-group slices of the result.
-    bcol_all = sell_bcol[0] if len(sell_bcol) == 1 else jnp.concatenate(
-        sell_bcol)
-    if col_base is not None:
-        bcol_all = jnp.clip(
-            jnp.where(
-                bcol_all == global_sentinel, jnp.int32(ncu),
-                bcol_all - col_base,
-            ),
-            0, ncu,
-        )
-    vseg_all = jnp.take(vtab, bcol_all, axis=1)       # (cw, total_slots)
+        [vflat.reshape(ncu, cw).T, jnp.zeros((cw, n_lanes - ncu), cdt)],
+        axis=1)
+    # ONE fused v-gather for the XLA-path K-groups (adaptive depth
+    # classes can mean 10+ groups; per-group takes each pay a kernel
+    # dispatch), then free per-group slices of the result.
+    xla_bcol = [
+        b for g, b in enumerate(sell_bcol) if not use_pallas[g]
+    ]
+    if xla_bcol:
+        bcol_all = xla_bcol[0] if len(xla_bcol) == 1 else jnp.concatenate(
+            xla_bcol)
+        if col_base is not None:
+            bcol_all = jnp.clip(
+                jnp.where(
+                    bcol_all == global_sentinel, jnp.int32(ncu),
+                    bcol_all - col_base,
+                ),
+                0, ncu,
+            )
+        vseg_all = jnp.take(vtab, bcol_all, axis=1)   # (cw, xla_slots)
     parts = []
     off = 0
-    for dense_g, bcol_g in zip(sell_dense, sell_bcol):
+    for g, (dense_g, bcol_g) in enumerate(zip(sell_dense, sell_bcol)):
         cw_g, ch, kg, _, lanes = dense_g.shape
+        if use_pallas[g]:
+            contrib = sell_window_group(
+                dense_g, sell_rel[g], sell_ws[g], vtab, kg, cw_g
+            )                                            # (ch, 8, 128)
+            parts.append(
+                jnp.transpose(contrib, (0, 2, 1)).reshape(-1, BLOCK_HEIGHT)
+            )
+            continue
         n_g = bcol_g.shape[0]
         # static lane slice of the fused gather, then a free lane-split
         # reshape; the window-major dense layout lines up without a

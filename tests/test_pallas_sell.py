@@ -1,0 +1,145 @@
+"""Pallas windowed SELL SpMV kernel (ops/pallas/sell_kernel.py): plan
+window construction, interpret-mode kernel correctness vs the XLA path
+and the scipy oracle, fallback routing for unwindowable structure.
+
+Reference parity: the windowed kernel plays the role of the reference's
+single gather SpMV kernel for off-diagonal structure
+(ref: src/bmSparse_SPMV.cu:84-150)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from bmsparse_tpu import coo_to_bmsparse, spmv
+from bmsparse_tpu.ops.pallas.sell_kernel import (
+    WINDOW_UNITS, k_slice, ncu_padded,
+)
+from bmsparse_tpu.ops.plan import prepare
+
+
+def _clustered_coo(n, deg, spread, seed):
+    """Road-like rows: each row's columns cluster near a random center."""
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    centers = rng.integers(0, n, size=n)
+    cols = np.clip(
+        centers[rows] + rng.integers(0, spread, size=rows.shape[0]),
+        0, n - 1,
+    )
+    key = np.unique(rows * n + cols)
+    rows, cols = np.divmod(key, n)
+    vals = rng.standard_normal(rows.shape[0]).astype(np.float32)
+    return rows.astype(np.int32), cols.astype(np.int32), vals
+
+
+def test_windowed_sell_matches_oracle():
+    """Clustered structure: every K-group must get a window plan, and the
+    Pallas path (interpret mode on CPU) must match XLA and the oracle."""
+    n = 4096
+    rows, cols, vals = _clustered_coo(n, deg=6, spread=48, seed=31)
+    m = coo_to_bmsparse(rows, cols, vals, (n, n), backend="host")
+    p = prepare(m)
+    assert p.sell_rel and all(r is not None for r in p.sell_rel), (
+        "clustered structure must produce per-chunk v windows"
+    )
+    # the kernel's VMEM guard must engage k-slicing on at least one deep
+    # group here (cw=64 super-slots at kg >= 12 exceed one slice)
+    cw = p.sell_dense[0].shape[0]
+    assert any(k_slice(cw, kg) < kg for kg in p.sell_ks) or cw == 8
+
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal(n).astype(np.float32)
+    ref = m.to_scipy() @ v
+    u_xla = np.asarray(spmv(p, jnp.asarray(v), impl="xla"))
+    u_pl = np.asarray(spmv(p, jnp.asarray(v), impl="pallas"))
+    np.testing.assert_allclose(u_xla, ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(u_pl, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_windowed_plan_invariants():
+    """Every real slot of a windowed group must land inside its chunk's
+    [ws, ws + W) window of the padded v table."""
+    n = 4096
+    rows, cols, vals = _clustered_coo(n, deg=5, spread=90, seed=13)
+    m = coo_to_bmsparse(rows, cols, vals, (n, n), backend="host")
+    p = prepare(m)
+    assert any(r is not None for r in p.sell_rel)
+    for dense_g, bcol_g, ws, rel, kg in zip(
+        p.sell_dense, p.sell_bcol, p.sell_ws, p.sell_rel, p.sell_ks
+    ):
+        if rel is None:
+            continue
+        cw, cap = dense_g.shape[0], dense_g.shape[1]
+        ncu = bcol_g.max()          # padding sentinel = ncu
+        bc = np.asarray(bcol_g).reshape(cap, kg, 128)
+        rel_np = np.asarray(rel)
+        ws_np = np.asarray(ws)
+        real = bc != int(ncu)
+        assert rel_np.min() >= 0 and rel_np.max() < WINDOW_UNITS
+        # window starts stay DMA-in-bounds on the padded table
+        ncu_pad = ncu_padded(int(ncu))
+        assert ws_np.min() >= 0
+        assert ws_np.max() <= ncu_pad - WINDOW_UNITS
+        # rel reconstructs the absolute block column for real slots
+        np.testing.assert_array_equal(
+            (rel_np + ws_np[:, None, None])[real], bc[real]
+        )
+        assert (rel_np[~real] == 0).all()
+
+
+def test_scattered_falls_back_to_xla_gather():
+    """Uniform random structure can't fit per-chunk windows; the plan
+    must not emit any, and impl='pallas' must still be correct via the
+    XLA gather fallback."""
+    n = 4096
+    rng = np.random.default_rng(3)
+    nnz = n * 4
+    flat = rng.choice(n * n, size=nnz, replace=False)
+    r, c = np.divmod(flat, n)
+    order = np.lexsort((c, r))
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    m = coo_to_bmsparse(
+        r[order].astype(np.int32), c[order].astype(np.int32),
+        vals[order], (n, n), backend="host",
+    )
+    p = prepare(m)
+    assert all(rel is None for rel in p.sell_rel)
+    v = rng.standard_normal(n).astype(np.float32)
+    u = np.asarray(spmv(p, jnp.asarray(v), impl="pallas"))
+    np.testing.assert_allclose(
+        u, m.to_scipy() @ v, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_windowed_tiny_matrix():
+    """ncu < WINDOW_UNITS: one window covers the whole v table."""
+    r = np.array([0, 1, 5, 9], np.int32)
+    c = np.array([3, 9, 1, 14], np.int32)
+    vals = np.arange(1, 5, dtype=np.float32)
+    m = coo_to_bmsparse(r, c, vals, (16, 16), backend="host")
+    p = prepare(m)
+    assert p.sell_rel and p.sell_rel[0] is not None
+    v = np.arange(16, dtype=np.float32)
+    u = np.asarray(spmv(p, jnp.asarray(v), impl="pallas"))
+    ref = sp.csr_matrix((vals, (r, c)), shape=(16, 16)) @ v
+    np.testing.assert_allclose(u, ref, rtol=1e-6)
+
+
+def test_bf16_plan_skips_windows():
+    """bf16 plans keep the XLA path (the kernel is f32-gated for now)
+    and stay correct under impl='pallas'."""
+    n = 1024
+    rows, cols, vals = _clustered_coo(n, deg=4, spread=30, seed=5)
+    m = coo_to_bmsparse(rows, cols, vals, (n, n), backend="host")
+    p = prepare(m, dtype=jnp.bfloat16)
+    assert all(rel is None for rel in p.sell_rel)
+    v = np.ones(n, np.float32)
+    u = np.asarray(
+        spmv(p, jnp.asarray(v, jnp.bfloat16), impl="pallas")
+    ).astype(np.float32)
+    ref = sp.csr_matrix(
+        (vals, (rows, cols)), shape=(n, n)
+    ) @ v
+    np.testing.assert_allclose(u, ref, rtol=0.05, atol=0.1)
