@@ -251,7 +251,10 @@ def main():
         roof_vo = rl.roofline_nnz_per_s(
             rl.spmv_min_bytes_values_only(nnz), nnz, bw)
         mp = prepare(m)
-        log(f"{name}: ndiags={len(mp.dia_offsets)} sell_ks={mp.sell_ks}")
+        nwin = sum(r is not None for r in mp.sell_rel)
+        cw = mp.sell_dense[0].shape[0] if mp.sell_dense else 0
+        log(f"{name}: ndiags={len(mp.dia_offsets)} sell_ks={mp.sell_ks} "
+            f"cw={cw} windowed_groups={nwin}/{len(mp.sell_ks)}")
         # time the auto path only (Pallas DIA on TPU): every extra impl
         # costs a ~40 s tunnel compile that starves the SpGEMM budget
         for impl in ["auto"]:
@@ -269,7 +272,9 @@ def main():
                 f"{frac_vo*100:.1f}% of the round-1 values-only floor)")
             detail["spmv"][f"{name}:{impl}"] = dict(
                 nnz=nnz, blocks=nb, seconds=t, gnnz_s=gnnz,
-                roofline_frac=frac, values_only_frac=frac_vo)
+                roofline_frac=frac, values_only_frac=frac_vo,
+                sell_cw=cw, windowed_groups=nwin,
+                total_sell_groups=len(mp.sell_ks))
             # headline = the production-scale stencil case (the classic
             # PDE SpMV family; its 143 MB strip cannot hide in VMEM
             # across iterations, so the number is a stable cold-HBM

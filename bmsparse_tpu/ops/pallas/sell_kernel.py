@@ -55,26 +55,36 @@ def ncu_padded(ncu: int) -> int:
     return max(WINDOW_UNITS, -(-(ncu + 1) // 128) * 128)
 
 
-def k_slice(cw: int, kg: int) -> int:
+def k_slice(cw: int, kg: int, itemsize: int = 4) -> int:
     """Largest k-slice whose double-buffered blocks fit the VMEM budget
-    (0 if even one slot per slice doesn't — cannot happen for cw <= 64)."""
+    (0 if even one slot per slice doesn't — cannot happen for cw <= 64).
+    16-bit dense tiles (bf16) keep the k-slice even so every block's
+    trailing (ks*8, 128) face stays a multiple of the packed-sublane
+    tile."""
     win = 2 * cw * WINDOW_UNITS * 4
-    per_k = 2 * (cw * 8 * 128 + 128) * 4    # dense + idx, double-buffered
+    per_k = 2 * (cw * 8 * 128 * itemsize + 128 * 4)  # dense + idx, 2 bufs
     ks = (_VMEM_BUDGET - win) // per_k
-    return max(0, min(kg, ks))
+    ks = max(0, min(kg, ks))
+    if itemsize < 4 and ks % 2:
+        ks = ks - 1 if ks > 1 else (2 if kg >= 2 else 0)
+    return ks
 
 
-def group_vmem_ok(cw: int, kg: int) -> bool:
+def group_vmem_ok(cw: int, kg: int, itemsize: int = 4) -> bool:
     """Whether the group can run the windowed kernel at all (k-slicing
-    bounds the block size, so only degenerate shapes are refused)."""
-    return k_slice(cw, kg) >= 1
+    bounds the block size, so only degenerate shapes are refused; bf16
+    single-K groups stay on the XLA gather — their (8, 128) bf16 face
+    is below the packed-sublane tile)."""
+    if itemsize < 4 and kg < 2:
+        return False
+    return k_slice(cw, kg, itemsize) >= 1
 
 
 def _sell_window_kernel(
     ws_ref,                     # scalar prefetch: (cap,) int32 window starts
     vtab_ref,                   # ANY/HBM: (cw, ncu_pad) f32
     rel_ref,                    # VMEM block: (1, ks, 1, 128) int32 rel bcol
-    dense_ref,                  # VMEM block: (cw, 1, ks, 8, 128)
+    dense_ref,                  # VMEM block: (cw, 1, ks*8, 128) f32/bf16
     o_ref,                      # VMEM block: (1, 8, 128) f32, revisited
     win_ref,                    # scratch: (2, cw, W) f32 double buffer
     sem_ref,                    # scratch: (2,) DMA semaphores
@@ -116,9 +126,11 @@ def _sell_window_kernel(
     for k in range(ks):
         idx = jnp.broadcast_to(rel_ref[0, k, 0][None, :], (cw, 128))
         vseg = jnp.take_along_axis(win, idx, axis=1)     # (cw, 128)
-        # dense[w, k, i, lane] * v[w of slot(k, lane)] summed over w;
+        # dense[w, k*8+i, lane] * v[w of slot(k, lane)] summed over w;
         # the last k-slice's tail blocks read edge padding — masked.
-        term = jnp.sum(dense_ref[:, 0, k] * vseg[:, None, :], axis=0)
+        dk = dense_ref[:, 0, k * 8:(k + 1) * 8, :]       # (cw, 8, 128)
+        term = jnp.sum(
+            dk.astype(jnp.float32) * vseg[:, None, :], axis=0)
         acc = acc + jnp.where(s * ks + k < kg, term, 0.0)
 
     @pl.when(s == 0)
@@ -132,7 +144,7 @@ def _sell_window_kernel(
 
 @functools.partial(jax.jit, static_argnames=("kg", "cw"))
 def sell_window_group(
-    dense_g: jax.Array,          # (cw, cap, kg, 8, 128) f32
+    dense_g: jax.Array,          # (cw, cap, kg, 8, 128) f32/bf16
     rel_g: jax.Array,            # (cap, kg, 128) int32
     ws_g: jax.Array,             # (cap,) int32
     vtab: jax.Array,             # (cw, ncu_pad) f32, ncu_pad >= W
@@ -142,7 +154,7 @@ def sell_window_group(
     """One SELL K-group's contribution, windowed: (cap, 8, 128) f32."""
     cap = dense_g.shape[1]
     w = WINDOW_UNITS
-    ks = k_slice(cw, kg)
+    ks = k_slice(cw, kg, dense_g.dtype.itemsize)
     nks = -(-kg // ks)
     interpret = jax.default_backend() != "tpu"
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -156,8 +168,10 @@ def sell_window_group(
                 (1, ks, 1, 128), lambda c, s, ws: (c, s, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            # dense flattened to a (ks*8, 128) trailing face — a
+            # sublane multiple of 8 (f32) / 16 (bf16: ks kept even)
             pl.BlockSpec(
-                (cw, 1, ks, 8, 128), lambda c, s, ws: (0, c, s, 0, 0),
+                (cw, 1, ks * 8, 128), lambda c, s, ws: (0, c, s, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -176,4 +190,5 @@ def sell_window_group(
         out_shape=jax.ShapeDtypeStruct((cap, 8, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(ws_g, vtab, rel_g.reshape(cap, kg, 1, 128), dense_g)
+    )(ws_g, vtab, rel_g.reshape(cap, kg, 1, 128),
+      dense_g.reshape(cw, cap, kg * 8, 128))

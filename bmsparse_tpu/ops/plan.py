@@ -388,12 +388,14 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
 
         # stacked-row base of each group
         bases = np.cumsum([0] + [cap * SELL_C for _, cap in groups_spec])
-        # Pallas window eligibility: single-chip f32 plans only (the
+        # Pallas window eligibility: single-chip f32/bf16 plans (the
         # sharded/halo paths remap bcol at trace time; f64 has no TPU
-        # vector unit; bf16 dense would double on cast — measured later).
+        # vector unit). bf16 dense tiles stream at half the HBM bytes
+        # and cast to f32 in-register inside the kernel.
         win_ok = (
             forced_groups is None and col_shift == 0 and sell_unit is None
-            and np_dtype == np.float32
+            and np_dtype.itemsize in (2, 4)
+            and np_dtype.kind in ("f", "V")   # bf16 is a void-kind dtype
         )
         for g, (kg, cap) in enumerate(groups_spec):
             sel = group_of_chunk[chunk] == g if nchunks else np.zeros(
@@ -419,7 +421,8 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
             sell_ks.append(kg)
             # per-chunk v-window plan for the Pallas SELL kernel
             ws_g = rel_g = None
-            if win_ok and len(ub_sel) and _sk.group_vmem_ok(cw, kg):
+            if win_ok and len(ub_sel) and _sk.group_vmem_ok(
+                    cw, kg, np_dtype.itemsize):
                 real = bcol_g != ncu                     # (cap, kg, 128)
                 wmin = np.where(real, bcol_g, 2**30).min(axis=(1, 2))
                 wmax = np.where(real, bcol_g, -1).max(axis=(1, 2))

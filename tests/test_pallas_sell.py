@@ -127,14 +127,22 @@ def test_windowed_tiny_matrix():
     np.testing.assert_allclose(u, ref, rtol=1e-6)
 
 
-def test_bf16_plan_skips_windows():
-    """bf16 plans keep the XLA path (the kernel is f32-gated for now)
-    and stay correct under impl='pallas'."""
+def test_bf16_windows_engage():
+    """bf16 plans window their multi-K groups (dense tiles stream at
+    half the bytes and cast to f32 in-kernel); single-K bf16 groups
+    stay on the XLA gather (their (8, 128) bf16 face is below the
+    packed-sublane tile). Correct either way under impl='pallas'."""
     n = 1024
     rows, cols, vals = _clustered_coo(n, deg=4, spread=30, seed=5)
     m = coo_to_bmsparse(rows, cols, vals, (n, n), backend="host")
     p = prepare(m, dtype=jnp.bfloat16)
-    assert all(rel is None for rel in p.sell_rel)
+    assert any(
+        rel is not None for rel, kg in zip(p.sell_rel, p.sell_ks)
+        if kg >= 2
+    )
+    assert all(
+        rel is None for rel, kg in zip(p.sell_rel, p.sell_ks) if kg < 2
+    )
     v = np.ones(n, np.float32)
     u = np.asarray(
         spmv(p, jnp.asarray(v, jnp.bfloat16), impl="pallas")
@@ -143,3 +151,21 @@ def test_bf16_plan_skips_windows():
         (vals, (rows, cols)), shape=(n, n)
     ) @ v
     np.testing.assert_allclose(u, ref, rtol=0.05, atol=0.1)
+
+
+def test_f64_plan_skips_windows():
+    """f64 plans keep the XLA path (no TPU f64 vector unit) and stay
+    correct under impl='pallas'."""
+    n = 512
+    rows, cols, vals = _clustered_coo(n, deg=4, spread=20, seed=9)
+    m = coo_to_bmsparse(
+        rows, cols, vals.astype(np.float64), (n, n), backend="host")
+    p = prepare(m, dtype=jnp.float64)
+    assert all(rel is None for rel in p.sell_rel)
+    import jax
+    if not jax.config.read("jax_enable_x64"):
+        pytest.skip("x64 disabled (values truncate to f32)")
+    v = np.ones(n, np.float64)
+    u = np.asarray(spmv(p, jnp.asarray(v), impl="pallas"))
+    ref = sp.csr_matrix((vals, (rows, cols)), shape=(n, n)) @ v
+    np.testing.assert_allclose(u, ref, rtol=1e-6)
