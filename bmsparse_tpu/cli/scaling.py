@@ -34,6 +34,14 @@ import numpy as np
 # ~90 GB/s per chip. HBM: 819 GB/s.
 ICI_RING_GBPS = 90.0
 HBM_GBPS = 819.0
+# Multi-host: v5e hosts carry 4 chips each; the data-center network
+# between hosts is ~25 GB/s per host per direction (order-of-magnitude
+# public figure — the point of the model is the ICI/DCN asymmetry, not
+# the third digit). A host-major 1-D layout puts exactly one
+# host-crossing boundary per host on the ring, so only the boundary
+# shards' halos ride DCN.
+CHIPS_PER_HOST = 4
+DCN_HOST_GBPS = 25.0
 
 
 def _ring_allgather_seconds(total_bytes: int, d: int) -> float:
@@ -130,6 +138,24 @@ def build_report(m, sizes, v, mesh_fn, iters=5, run_sim=True,
             "efficiency_serialized": t_comp / (t_comp + t_comm),
             "efficiency_overlapped": t_comp / max(t_comp, t_comm),
         }
+        # multi-host projection (host-major layout, DCN model): a halo
+        # exchange crosses DCN only at the one host boundary per host —
+        # the slowest chip is the boundary one; a v all-gather's ring is
+        # bottlenecked by its DCN links end to end
+        if d > CHIPS_PER_HOST:
+            hosts = -(-d // CHIPS_PER_HOST)
+            if halo is not None:
+                t_comm_h = ici_bytes / (DCN_HOST_GBPS * 1e9)
+            else:
+                t_comm_h = v_bytes * (d - 1) / d / (DCN_HOST_GBPS * 1e9)
+            row["projected_multihost"] = {
+                "hosts": hosts,
+                "chips_per_host": CHIPS_PER_HOST,
+                "dcn_gbps": DCN_HOST_GBPS,
+                "worst_chip_comm_s": t_comm_h,
+                "efficiency_serialized": t_comp / (t_comp + t_comm_h),
+                "efficiency_overlapped": t_comp / max(t_comp, t_comm_h),
+            }
         report["spmv"].append(row)
 
     # SpGEMM (A . A, B in transposed layout): selective-exchange payloads
@@ -197,6 +223,23 @@ def build_report(m, sizes, v, mesh_fn, iters=5, run_sim=True,
                 "efficiency_overlapped":
                     t_comp / max(t_comp, t_comm),
             }
+            # multi-host: of a shard's d-1 all_to_all sends, d - cph
+            # cross hosts; each host's DCN carries cph of those shards
+            if d > CHIPS_PER_HOST:
+                cph = CHIPS_PER_HOST
+                per_pair = wire / max(d * (d - 1), 1)
+                dcn_bytes_per_host = per_pair * cph * (d - cph)
+                t_comm_h = dcn_bytes_per_host / (DCN_HOST_GBPS * 1e9)
+                row["projected_multihost"] = {
+                    "hosts": -(-d // cph),
+                    "chips_per_host": cph,
+                    "dcn_gbps": DCN_HOST_GBPS,
+                    "dcn_bytes_per_host": int(dcn_bytes_per_host),
+                    "efficiency_serialized":
+                        t_comp / (t_comp + t_comm_h),
+                    "efficiency_overlapped":
+                        t_comp / max(t_comp, t_comm_h),
+                }
             if run_sim and d <= len(jax.devices()):
                 c = sharded_multiply(spp, mesh_fn(d))
                 cb = c.to_bmsparse()
@@ -342,6 +385,12 @@ def main(argv=None) -> int:
               f"ICI {pr['ici_bytes_per_chip']} B/chip"
               + (f"; sim ok={ms['ok']} imbalance "
                  f"{ms['shard_imbalance']:.2f}" if ms else ""))
+        mh = row.get("projected_multihost")
+        if mh:
+            print(f"       multihost ({mh['hosts']} hosts x "
+                  f"{mh['chips_per_host']} chips, DCN model): eff "
+                  f"{mh['efficiency_serialized']*100:5.1f}%/"
+                  f"{mh['efficiency_overlapped']*100:5.1f}%")
     for row in report["spgemm"]:
         if "selective_fraction" in row:
             pr = row["projected"]

@@ -53,6 +53,11 @@ class Config:
     # (ops/pallas/sell_kernel.py): impl="pallas" then keeps the XLA
     # gather tier even where the plan built windows.
     sell_pallas: bool = _env_bool("BMSP_SELL_PALLAS", True)
+    # Pallas windowed SpGEMM kernel (ops/pallas/spgemm_window_kernel.py):
+    # "auto" = engage on the TPU backend only (interpret mode on CPU runs
+    # the grid sequentially in Python — always slower than the XLA
+    # paths), "on" = force (tests), "off" = never.
+    spgemm_winkernel: str = os.environ.get("BMSP_SPGEMM_WINKERNEL", "auto")
     # Verbose per-phase timing (ref: VERBOSE flag, src/bmSparse_SPGEMM.cu:835).
     verbose: bool = _env_bool("BMSP_VERBOSE", False)
 

@@ -121,9 +121,10 @@ class PreparedProduct:
         c_values = sg._numeric_stage(
             a_flat, b_flat, p.tas, p.tbs,
             p.sig_st[0], p.sig_st[1], p.sig_st[2],
-            p.win_starts, p.g_tbl,
+            p.win_starts, p.g_tbl, p.pws,
             tuple(p.groups), self.impl, p.nnz_pad,
             win=p.win, compress=p.compress_mode,
+            pwin=p.pwin, nba_pad=p.nba_pad, nbb_pad=p.nbb_pad,
         )
         return sg._assemble_c(p, c_values)
 

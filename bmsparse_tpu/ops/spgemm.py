@@ -768,30 +768,48 @@ def _numeric_sell_parts(
     a_flat, b_flat, tas: tuple, tbs: tuple,
     groups: list, impl: str,
     win: tuple = (), win_starts: tuple = (),
+    pwin: tuple = (), pws: tuple = (),
+    nba_pad: int = 0, nbb_pad: int = 0,
 ):
     """Run the task-SELL products over all K-groups from the cached slot
     tables (tas/tbs are PLAN data — built once per structure, not per
     multiply).
 
-    win[i] = (wa, wb) static window row counts for group i (0 = no
-    window); win_starts[i] = (sa_arr, sb_arr) per-slab start rows.
-    Windowed groups gather through plan-proven small windows (row-major
-    tables); unwindowed groups keep the transposed-table lane gathers.
+    pwin[i] = (wa, wb, t, cap) statics of the Pallas tile-window kernel
+    for group i (None = ineligible); its slot tables are already
+    window-relative in kernel layout. win[i] = (wa, wb) static window
+    row counts of the XLA slab-window path (0 = no window);
+    win_starts[i] = (sa_arr, sb_arr) per-slab start rows. Precedence per
+    group: Pallas tile windows > XLA slab windows > full-table lane
+    gathers.
 
     Returns c_rows: stacked (R, 64) dense C tiles in sigma group order.
     """
+    from .pallas.spgemm_window_kernel import (
+        numeric_window_pallas, pad_table,
+    )
+
     if not win:
         win = ((0, 0),) * len(groups)
-    any_win = any(wa or wb for wa, wb in win)
-    any_plain = any(not (wa or wb) for wa, wb in win)
+    if not pwin:
+        pwin = (None,) * len(groups)
+    use_pk = [pwin[gi] is not None for gi in range(len(groups))]
+    any_pk = any(use_pk)
+    any_win = any(
+        (wa or wb) and not pk for (wa, wb), pk in zip(win, use_pk))
+    any_plain = any(
+        not (wa or wb) and not pk for (wa, wb), pk in zip(win, use_pk))
     # keep the operand dtype (bf16 tiles halve gather traffic; products
     # accumulate f32 downstream)
-    a_t = b_t = a_ext = b_ext = None
-    if any_plain:
+    a_t = b_t = a_ext = b_ext = a_tp = b_tp = None
+    if any_plain or any_pk:
         a_t = jnp.concatenate(
             [a_flat.T, jnp.zeros((64, 1), a_flat.dtype)], axis=1)
         b_t = jnp.concatenate(
             [b_flat.T, jnp.zeros((64, 1), b_flat.dtype)], axis=1)
+    if any_pk:
+        a_tp = pad_table(a_t, nba_pad)
+        b_tp = pad_table(b_t, nbb_pad)
     if any_win:
         a_ext = jnp.concatenate(
             [a_flat, jnp.zeros((1, 64), a_flat.dtype)])
@@ -800,6 +818,13 @@ def _numeric_sell_parts(
     parts = []
     for gi, (kg, c0, c1) in enumerate(groups):
         ta, tb = tas[gi], tbs[gi]
+        if use_pk[gi]:
+            wa_, wb_, t_, cap_ = pwin[gi]
+            wsa_, wsb_ = pws[gi]
+            out = numeric_window_pallas(
+                a_tp, b_tp, ta, tb, wsa_, wsb_, kg, wa_, wb_)
+            parts.append(out[: cap_ * 128])
+            continue
         wa, wb = win[gi]
         if wa or wb:
             sa_arr, sb_arr = win_starts[gi]
@@ -1073,6 +1098,7 @@ class _ProductPlan:
         "starts_sig", "cnt_sig", "ends_sig", "groups",
         "tas", "tbs", "sig_st", "sig_sigma",
         "win", "win_starts", "jmax", "g_tbl", "compress_mode",
+        "pwin", "pws", "nba_pad", "nbb_pad",
         "num_tasks", "num_alive", "num_c_blocks", "num_c_nnz",
         "nbc_pad", "nb_pad_c", "nnz_pad", "a_idx", "b_idx", "c_seg",
         "cbrow", "cbcol", "c_off", "c_hi", "c_lo",
@@ -1177,6 +1203,87 @@ def _plan_windows(groups, amin_c, amax_c, bmin_c, bmax_c,
     return tuple(win), tuple(win_starts)
 
 
+def _plan_pallas_windows(groups, amin_c, amax_c, bmin_c, bmax_c,
+                         nb_a: int, nb_b: int, enable: bool = True):
+    """Per-group, per-8-chunk-tile operand windows for the Pallas
+    windowed product kernel (ops/pallas/spgemm_window_kernel.py) — host
+    numpy over the plan packet's carried per-chunk operand spans.
+
+    A group is eligible when every tile's indices fit one <= W_MAX-row
+    window on BOTH sides (W bucketed pow2 per group/side; tiles are the
+    kernel's grid step of TILE_CHUNKS sigma chunks, so this is a
+    strictly tighter test than the slab windows of _plan_windows).
+    Returns (pwin, pws, nba_pad, nbb_pad): pwin[g] = (wa, wb, t, cap)
+    statics or None; pws[g] = (wsa, wsb) per-tile start arrays or None;
+    the *_pad lane counts keep every window DMA in bounds on the padded
+    transposed tables."""
+    import numpy as np
+
+    from ..config import round_up
+    from .pallas.spgemm_window_kernel import TILE_CHUNKS, W_MAX
+
+    big = np.int64(2**30)
+    nba_pad = max(round_up(nb_a + 1, 128), W_MAX)
+    nbb_pad = max(round_up(nb_b + 1, 128), W_MAX)
+    pwin: list = []
+    pws: list = []
+    for kg, c0, c1 in groups:
+        ch = c1 - c0
+        cap = bucket_size(ch, minimum=1)
+        if not enable:
+            pwin.append(None)
+            pws.append(None)
+            continue
+        found = None
+        # t ladder: smaller tiles trade VPU utilization for tighter
+        # windows — a group whose 8-chunk tiles span too much may still
+        # fit per-chunk windows (banded structure with a wide class
+        # interleave)
+        for t in (TILE_CHUNKS, 4, 2, 1):
+            if t > cap:
+                continue
+            ntiles = -(-cap // t)
+            am = np.full((ntiles * t,), big)
+            ax = np.full((ntiles * t,), np.int64(-1))
+            bm = np.full((ntiles * t,), big)
+            bx = np.full((ntiles * t,), np.int64(-1))
+            am[:ch] = amin_c[c0:c1]
+            ax[:ch] = amax_c[c0:c1]
+            bm[:ch] = bmin_c[c0:c1]
+            bx[:ch] = bmax_c[c0:c1]
+            am_t = am.reshape(ntiles, t).min(1)
+            ax_t = ax.reshape(ntiles, t).max(1)
+            bm_t = bm.reshape(ntiles, t).min(1)
+            bx_t = bx.reshape(ntiles, t).max(1)
+            real_a = ax_t >= 0
+            real_b = bx_t >= 0
+            sp_a = int((ax_t - am_t + 1)[real_a].max()) if real_a.any() \
+                else 1
+            sp_b = int((bx_t - bm_t + 1)[real_b].max()) if real_b.any() \
+                else 1
+            wa = 256
+            while wa < sp_a:
+                wa *= 2
+            wb = 256
+            while wb < sp_b:
+                wb *= 2
+            if wa > W_MAX or wb > W_MAX:
+                continue
+            wsa = np.clip(np.where(real_a, am_t, 0), 0, nba_pad - wa)
+            wsb = np.clip(np.where(real_b, bm_t, 0), 0, nbb_pad - wb)
+            found = ((wa, wb, t, cap),
+                     (jnp.asarray(wsa, jnp.int32),
+                      jnp.asarray(wsb, jnp.int32)))
+            break
+        if found is None:
+            pwin.append(None)
+            pws.append(None)
+        else:
+            pwin.append(found[0])
+            pws.append(found[1])
+    return tuple(pwin), tuple(pws), nba_pad, nbb_pad
+
+
 def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
     """Run T1-T9 with exactly TWO host syncs — the task total (fixes the
     static task shape) and the packed plan packet — matching the
@@ -1237,6 +1344,19 @@ def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
         p.win, p.win_starts = _plan_windows(
             p.groups, amin_c, amax_c, bmin_c, bmax_c,
             p.a_flat.shape[0], p.b_flat.shape[0])
+        # Pallas tile windows (take precedence over the slab windows at
+        # dispatch; config is read at plan time so cached plans stay
+        # self-consistent). f64 keeps the XLA paths (no TPU f64 VPU).
+        wk = get_config().spgemm_winkernel
+        p.pwin, p.pws, p.nba_pad, p.nbb_pad = _plan_pallas_windows(
+            p.groups, amin_c, amax_c, bmin_c, bmax_c,
+            p.a_flat.shape[0], p.b_flat.shape[0],
+            enable=(
+                (wk == "on"
+                 or (wk == "auto" and jax.default_backend() == "tpu"))
+                and p.a_flat.dtype != jnp.float64
+                and p.b_flat.dtype != jnp.float64),
+        )
         # compress plan: gather-fold when contributor runs are short and
         # padding stays bounded, else the row scatter-add. The fold's
         # gathers read the (R, 128) packed-row table — past ~100 MB
@@ -1273,11 +1393,13 @@ def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
             keys_tbl, starts_sig, cnt_sig, sig_cols, nat_cols,
             nat_of_sig, jnp.asarray(chunk_base, jnp.int32),
             jnp.int32(p.num_c_blocks), jnp.int32(p.num_c_nnz),
+            p.pws,
             groups=tuple(p.groups),
             sent_a=p.a_flat.shape[0], sent_b=p.b_flat.shape[0],
             j_max=(p.jmax if use_fold else 0),
             t_rows_pad=t_rows_pad, nb_pad_c=p.nb_pad_c,
             block_rows_a=a.block_rows,
+            pallas_win=p.pwin,
         )
         p.c_hi = c_hi.astype(jnp.uint32)
         p.c_lo = c_lo.astype(jnp.uint32)
@@ -1286,28 +1408,57 @@ def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
 
 @partial(jax.jit, static_argnames=(
     "groups", "sent_a", "sent_b", "j_max", "t_rows_pad", "nb_pad_c",
-    "block_rows_a"))
+    "block_rows_a", "pallas_win"))
 def _plan_stage2(
     keys_tbl, starts_sig, cnt_sig, sig_cols, nat_cols, nat_of_sig,
-    chunk_base, nbc, nnzc,
+    chunk_base, nbc, nnzc, pws,
     groups: tuple, sent_a: int, sent_b: int, j_max: int,
     t_rows_pad: int, nb_pad_c: int, block_rows_a: int,
+    pallas_win: tuple = (),
 ):
     """Everything the plan derives AFTER the packet, in one dispatch:
     per-group slot operand tables, stacked sigma compress columns, the
     fold contributor table (j_max = 0 means scatter mode — a dummy is
-    returned), and the masked natural-order container fields."""
+    returned), and the masked natural-order container fields.
+
+    Groups with a Pallas tile-window plan (pallas_win[g] = (wa, wb, t,
+    cap), pws[g] = per-tile start arrays) get their slot tables stored
+    WINDOW-RELATIVE in the kernel's (ntiles, K, t, 128) layout;
+    sentinels remap to the huge _SENT_REL the kernel's quarter-select
+    never matches."""
+    from .pallas.spgemm_window_kernel import _SENT_REL
+
     nbc_pad = starts_sig.shape[0]
+    if not pallas_win:
+        pallas_win = (None,) * len(groups)
     tas = []
     tbs = []
     sig_st = [[], [], []]
-    for kg, c0, c1 in groups:
+    for g, (kg, c0, c1) in enumerate(groups):
         ch = c1 - c0
         ch_pad = bucket_size(ch, minimum=1)
         ta, tb = _gather_group_slots(
             keys_tbl, starts_sig, cnt_sig,
             jnp.int32(c0), ch_pad, kg, sent_a, sent_b,
         )
+        if pallas_win[g] is not None:
+            wa, wb, t, cap = pallas_win[g]
+            wsa, wsb = pws[g]
+            ntiles = wsa.shape[0]
+            pad_ch = ntiles * t - ch_pad
+            if pad_ch:
+                ta = jnp.concatenate([
+                    ta, jnp.full((pad_ch, kg, 128), sent_a, ta.dtype)])
+                tb = jnp.concatenate([
+                    tb, jnp.full((pad_ch, kg, 128), sent_b, tb.dtype)])
+            sa = jnp.repeat(wsa, t)[:, None, None]
+            sb = jnp.repeat(wsb, t)[:, None, None]
+            ta = jnp.where(ta >= sent_a, jnp.int32(_SENT_REL), ta - sa)
+            tb = jnp.where(tb >= sent_b, jnp.int32(_SENT_REL), tb - sb)
+            ta = jnp.transpose(
+                ta.reshape(ntiles, t, kg, 128), (0, 2, 1, 3))
+            tb = jnp.transpose(
+                tb.reshape(ntiles, t, kg, 128), (0, 2, 1, 3))
         tas.append(ta)
         tbs.append(tb)
         lo_r = c0 * 128
@@ -1395,13 +1546,15 @@ def spgemm(
 
 @partial(
     jax.jit,
-    static_argnames=("groups", "impl", "nnz_pad", "win", "compress"),
+    static_argnames=("groups", "impl", "nnz_pad", "win", "compress",
+                     "pwin", "nba_pad", "nbb_pad"),
 )
 def _numeric_stage(
     a_flat, b_flat, tas, tbs, sig_hi, sig_lo, sig_off,
-    win_starts, g_tbl,
+    win_starts, g_tbl, pws,
     groups: tuple, impl: str, nnz_pad: int,
     win: tuple = (), compress: str = "scatter",
+    pwin: tuple = (), nba_pad: int = 0, nbb_pad: int = 0,
 ):
     """The ENTIRE numeric phase (operand gathers, products, K-sums,
     compress) as one jitted program — one dispatch per multiply (each
@@ -1416,6 +1569,7 @@ def _numeric_stage(
     ("scatter")."""
     c_rows = _numeric_sell_parts(
         a_flat, b_flat, tas, tbs, list(groups), impl, win, win_starts,
+        pwin, pws, nba_pad, nbb_pad,
     )
     hi = sig_hi.astype(jnp.uint32)
     lo = sig_lo.astype(jnp.uint32)
@@ -1444,9 +1598,10 @@ def _numeric_from_plan(p: _ProductPlan, impl: str) -> jax.Array:
         return _numeric_stage(
             p.a_flat, p.b_flat, p.tas, p.tbs,
             p.sig_st[0], p.sig_st[1], p.sig_st[2],
-            p.win_starts, p.g_tbl,
+            p.win_starts, p.g_tbl, p.pws,
             tuple(p.groups), impl, p.nnz_pad,
             win=p.win, compress=p.compress_mode,
+            pwin=p.pwin, nba_pad=p.nba_pad, nbb_pad=p.nbb_pad,
         )
     return jnp.zeros(
         (p.nnz_pad,), jnp.promote_types(p.a_flat.dtype, jnp.float32))
