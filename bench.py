@@ -266,9 +266,13 @@ def main():
                 from bmsparse_tpu import get_config, set_config
                 if nwin and get_config().sell_pallas:
                     # a windowed-SELL kernel compile failure must not
-                    # cost the case — disable it and retry once
+                    # cost the case — disable it and retry once. The
+                    # flag is read at TRACE time, so the cached jaxpr
+                    # (which still contains the pallas_call) must be
+                    # dropped or the retry re-fails identically.
                     log("disabling the Pallas SELL kernel and retrying")
                     set_config(sell_pallas=False)
+                    jax.clear_caches()
                     try:
                         t = time_chain(step, v0, iters=30, args=(mp,))
                     except Exception as e2:
@@ -282,10 +286,16 @@ def main():
             log(f"SpMV {name} [{impl}]: nnz={nnz} blocks={nb} t={t*1e6:.1f}us "
                 f"{gnnz:.3f} Gnnz/s ({frac*100:.1f}% of roofline; "
                 f"{frac_vo*100:.1f}% of the round-1 values-only floor)")
+            from bmsparse_tpu import get_config as _gc
             detail["spmv"][f"{name}:{impl}"] = dict(
                 nnz=nnz, blocks=nb, seconds=t, gnnz_s=gnnz,
                 roofline_frac=frac, values_only_frac=frac_vo,
-                sell_cw=cw, windowed_groups=nwin,
+                sell_cw=cw,
+                # what actually RAN, not what the plan built — a mid-run
+                # kernel fallback must not attribute XLA numbers to the
+                # Pallas kernel
+                windowed_groups=(nwin if _gc().sell_pallas else 0),
+                windowed_groups_planned=nwin,
                 total_sell_groups=len(mp.sell_ks))
             # headline = the production-scale stencil case (the classic
             # PDE SpMV family; its 143 MB strip cannot hide in VMEM

@@ -145,7 +145,10 @@ def build_report(m, sizes, v, mesh_fn, iters=5, run_sim=True,
         if d > CHIPS_PER_HOST:
             hosts = -(-d // CHIPS_PER_HOST)
             if halo is not None:
-                t_comm_h = ici_bytes / (DCN_HOST_GBPS * 1e9)
+                # a boundary chip crosses DCN on ONE side only (its
+                # other neighbour is intra-host over ICI)
+                t_comm_h = max(halo[0], halo[1]) * 4 / (
+                    DCN_HOST_GBPS * 1e9)
             else:
                 t_comm_h = v_bytes * (d - 1) / d / (DCN_HOST_GBPS * 1e9)
             row["projected_multihost"] = {
@@ -320,12 +323,19 @@ def main(argv=None) -> int:
                    help="force the CPU backend (use with XLA_FLAGS="
                         "--xla_force_host_platform_device_count=N; needed "
                         "on images that pin jax_platforms)")
+    from ._platform import add_platform_arg
+
+    add_platform_arg(p)
     args = p.parse_args(argv)
 
     import jax
 
     if args.cpu_sim:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from ._platform import apply_platform
+
+        apply_platform(args)
 
     import jax.numpy as jnp
 

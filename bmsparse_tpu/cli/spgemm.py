@@ -51,19 +51,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="input value dtype (reference uses half)")
     p.add_argument("--check", action="store_true",
                    help="verify against the scipy oracle (compare())")
-    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
-                   help="force the jax backend (this image pins "
-                        "jax_platforms, so the JAX_PLATFORMS env var is "
-                        "ignored; use --platform cpu when the TPU tunnel "
-                        "is unavailable)")
+    from ._platform import add_platform_arg
+
+    add_platform_arg(p)
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    import jax
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    from ._platform import apply_platform
+
+    apply_platform(args)
     import jax.numpy as jnp
 
     from .. import mmread_bmsparse, set_config

@@ -51,7 +51,9 @@ class Config:
     spmv_impl: str = os.environ.get("BMSP_SPMV_IMPL", "auto")
     # Emergency off-switch for the Pallas windowed SELL kernel
     # (ops/pallas/sell_kernel.py): impl="pallas" then keeps the XLA
-    # gather tier even where the plan built windows.
+    # gather tier even where the plan built windows. Read at TRACE
+    # time — flipping it in a live process only affects new traces
+    # (call jax.clear_caches() to drop cached ones).
     sell_pallas: bool = _env_bool("BMSP_SELL_PALLAS", True)
     # Pallas windowed SpGEMM kernel (ops/pallas/spgemm_window_kernel.py):
     # "auto" = engage on the TPU backend only (interpret mode on CPU runs

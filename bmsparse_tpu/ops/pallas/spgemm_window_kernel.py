@@ -41,9 +41,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_CHUNKS = 8        # sigma chunks per grid step (matches spgemm_kernel)
+TILE_CHUNKS = 8        # chunk slots per grid step — ALWAYS 8, so the
+                       # output block's second-minor dim is a sublane
+                       # multiple; the planner's t-ladder packs fewer
+                       # REAL chunks per tile (rest sentinel-padded)
+                       # when tighter windows are needed
 W_MAX = 4096           # max window rows per side (64*4096*4 B * 2 bufs
                        # * 2 operands = 8 MB of the ~16 MB VMEM)
+_VMEM_WINDOW_BUDGET = 10 * 1024 * 1024   # both sides' double buffers
 _SENT_REL = 1 << 24    # window-relative sentinel (never matches a quarter)
 
 
@@ -208,13 +213,21 @@ def pad_table(flat_t: jax.Array, target_lanes: int) -> jax.Array:
 
 
 def numeric_window_pallas(
-    a_tp, b_tp, ra, rb, wsa, wsb, kg: int, wa: int, wb: int
+    a_tp, b_tp, ra, rb, wsa, wsb, kg: int, wa: int, wb: int,
+    t_real: int = TILE_CHUNKS,
 ) -> jax.Array:
     """One K-group's products through the windowed kernel.
 
     ra/rb are WINDOW-RELATIVE slot tables (plan data, sentinel
-    _SENT_REL); returns (ch*128, 64) row-major sigma-order C tiles,
-    matching ops/spgemm.py::_numeric_sell_group.
+    _SENT_REL) in the kernel's (ntiles, K, 8, 128) layout; tiles carry
+    t_real real chunks (the planner's window-tightness ladder) and
+    8 - t_real sentinel-padded slots, dropped here. Returns
+    (ntiles*t_real*128, 64) row-major sigma-order C tiles, matching
+    ops/spgemm.py::_numeric_sell_group.
     """
     out = _window_products(a_tp, b_tp, ra, rb, wsa, wsb, kg, wa, wb)
+    ntiles = ra.shape[0]
+    if t_real < TILE_CHUNKS:
+        out = out.reshape(64, ntiles, TILE_CHUNKS, 128)[:, :, :t_real]
+        out = out.reshape(64, ntiles * t_real, 128)
     return jnp.transpose(out, (1, 2, 0)).reshape(-1, 64)

@@ -822,7 +822,8 @@ def _numeric_sell_parts(
             wa_, wb_, t_, cap_ = pwin[gi]
             wsa_, wsb_ = pws[gi]
             out = numeric_window_pallas(
-                a_tp, b_tp, ta, tb, wsa_, wsb_, kg, wa_, wb_)
+                a_tp, b_tp, ta, tb, wsa_, wsb_, kg, wa_, wb_,
+                t_real=t_)
             parts.append(out[: cap_ * 128])
             continue
         wa, wb = win[gi]
@@ -1204,7 +1205,8 @@ def _plan_windows(groups, amin_c, amax_c, bmin_c, bmax_c,
 
 
 def _plan_pallas_windows(groups, amin_c, amax_c, bmin_c, bmax_c,
-                         nb_a: int, nb_b: int, enable: bool = True):
+                         nb_a: int, nb_b: int, enable: bool = True,
+                         itemsize: int = 4):
     """Per-group, per-8-chunk-tile operand windows for the Pallas
     windowed product kernel (ops/pallas/spgemm_window_kernel.py) — host
     numpy over the plan packet's carried per-chunk operand spans.
@@ -1220,7 +1222,9 @@ def _plan_pallas_windows(groups, amin_c, amax_c, bmin_c, bmax_c,
     import numpy as np
 
     from ..config import round_up
-    from .pallas.spgemm_window_kernel import TILE_CHUNKS, W_MAX
+    from .pallas.spgemm_window_kernel import (
+        _VMEM_WINDOW_BUDGET, TILE_CHUNKS, W_MAX, window_vmem_bytes,
+    )
 
     big = np.int64(2**30)
     nba_pad = max(round_up(nb_a + 1, 128), W_MAX)
@@ -1269,6 +1273,8 @@ def _plan_pallas_windows(groups, amin_c, amax_c, bmin_c, bmax_c,
                 wb *= 2
             if wa > W_MAX or wb > W_MAX:
                 continue
+            if window_vmem_bytes(wa, wb, itemsize) > _VMEM_WINDOW_BUDGET:
+                continue
             wsa = np.clip(np.where(real_a, am_t, 0), 0, nba_pad - wa)
             wsb = np.clip(np.where(real_b, bm_t, 0), 0, nbb_pad - wb)
             found = ((wa, wb, t, cap),
@@ -1284,7 +1290,8 @@ def _plan_pallas_windows(groups, amin_c, amax_c, bmin_c, bmax_c,
     return tuple(pwin), tuple(pws), nba_pad, nbb_pad
 
 
-def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
+def _plan_product(a, b, a_prep, b_prep, timer, verbose,
+                  winkernel: str | None = None) -> _ProductPlan:
     """Run T1-T9 with exactly TWO host syncs — the task total (fixes the
     static task shape) and the packed plan packet — matching the
     reference's two scalar D->H memcpys per multiply
@@ -1347,7 +1354,7 @@ def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
         # Pallas tile windows (take precedence over the slab windows at
         # dispatch; config is read at plan time so cached plans stay
         # self-consistent). f64 keeps the XLA paths (no TPU f64 VPU).
-        wk = get_config().spgemm_winkernel
+        wk = winkernel or get_config().spgemm_winkernel
         p.pwin, p.pws, p.nba_pad, p.nbb_pad = _plan_pallas_windows(
             p.groups, amin_c, amax_c, bmin_c, bmax_c,
             p.a_flat.shape[0], p.b_flat.shape[0],
@@ -1356,6 +1363,7 @@ def _plan_product(a, b, a_prep, b_prep, timer, verbose) -> _ProductPlan:
                  or (wk == "auto" and jax.default_backend() == "tpu"))
                 and p.a_flat.dtype != jnp.float64
                 and p.b_flat.dtype != jnp.float64),
+            itemsize=p.a_flat.dtype.itemsize,
         )
         # compress plan: gather-fold when contributor runs are short and
         # padding stays bounded, else the row scatter-add. The fold's
@@ -1442,6 +1450,8 @@ def _plan_stage2(
             jnp.int32(c0), ch_pad, kg, sent_a, sent_b,
         )
         if pallas_win[g] is not None:
+            from .pallas.spgemm_window_kernel import TILE_CHUNKS
+
             wa, wb, t, cap = pallas_win[g]
             wsa, wsb = pws[g]
             ntiles = wsa.shape[0]
@@ -1455,10 +1465,19 @@ def _plan_stage2(
             sb = jnp.repeat(wsb, t)[:, None, None]
             ta = jnp.where(ta >= sent_a, jnp.int32(_SENT_REL), ta - sa)
             tb = jnp.where(tb >= sent_b, jnp.int32(_SENT_REL), tb - sb)
-            ta = jnp.transpose(
-                ta.reshape(ntiles, t, kg, 128), (0, 2, 1, 3))
-            tb = jnp.transpose(
-                tb.reshape(ntiles, t, kg, 128), (0, 2, 1, 3))
+            ta = ta.reshape(ntiles, t, kg, 128)
+            tb = tb.reshape(ntiles, t, kg, 128)
+            if t < TILE_CHUNKS:
+                # tiles always carry 8 chunk slots (the kernel's output
+                # block needs a sublane-multiple second-minor dim); the
+                # ladder's tighter tiles pad with sentinel slots
+                padt = jnp.full(
+                    (ntiles, TILE_CHUNKS - t, kg, 128),
+                    _SENT_REL, jnp.int32)
+                ta = jnp.concatenate([ta, padt], axis=1)
+                tb = jnp.concatenate([tb, padt], axis=1)
+            ta = jnp.transpose(ta, (0, 2, 1, 3))
+            tb = jnp.transpose(tb, (0, 2, 1, 3))
         tas.append(ta)
         tbs.append(tb)
         lo_r = c0 * 128
@@ -1519,6 +1538,14 @@ def spgemm(
         (ops/pallas/spgemm_kernel.py) for the product+reduce stage.
       * "xla" — chunked gather + segment-sum (the jit-safe formulation the
         shard_map path uses; slower, kept honest and selectable).
+
+    Orthogonal to impl, K-groups whose operand windows fit VMEM run the
+    Pallas windowed product kernel (ops/pallas/spgemm_window_kernel.py)
+    on the TPU backend — the window-vs-gather choice is part of the
+    PLAN (slot tables are stored window-relative), not of the per-call
+    kernel switch. BMSP_SPGEMM_WINKERNEL=off / set_config(
+    spgemm_winkernel="off") disables it at plan time; impl then governs
+    every group.
     """
     from .plan import Prepared, as_matrix
 

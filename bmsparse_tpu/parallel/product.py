@@ -150,8 +150,12 @@ def prepare_sharded_product(
     plans = []
     for s in range(d):
         a_s = sa.shard_local(s)
+        # winkernel="off": the sharded numeric re-derives absolute slot
+        # tables itself (below); the per-shard Pallas-window plans and
+        # their relativized tas/tbs would be built and never read
         plans.append(
-            sg._plan_product(a_s, b_full, None, _BPrep, timer, False))
+            sg._plan_product(a_s, b_full, None, _BPrep, timer, False,
+                             winkernel="off"))
 
     # ---- unified static layout ------------------------------------------
     ks_all = sorted(

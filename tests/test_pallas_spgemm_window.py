@@ -60,9 +60,13 @@ def test_windowed_product_matches_oracle():
     a, bt = _pair(4096, [0, 1, -1, 8, -8, 17])
     p = sg._plan_product(a, bt, None, None, PhaseTimer(False), False)
     assert all(w is not None for w in p.pwin), p.pwin
-    # relative tables live in the kernel layout with in-window indices
+    # relative tables live in the kernel layout with in-window indices;
+    # tiles always carry 8 chunk slots (sentinel-padded when the
+    # window-tightness ladder packs fewer real chunks)
+    from bmsparse_tpu.ops.pallas.spgemm_window_kernel import TILE_CHUNKS
+
     for (wa, wb, t, cap), ta in zip(p.pwin, p.tas):
-        assert ta.ndim == 4 and ta.shape[2] == t
+        assert ta.ndim == 4 and ta.shape[2] == TILE_CHUNKS
         tn = np.asarray(ta)
         real = tn != _SENT_REL
         assert tn[real].min() >= 0 and tn[real].max() < wa
@@ -145,6 +149,62 @@ def test_windowed_product_f64_disabled():
     got = sp.csr_matrix(sg.spgemm(a64, bt64).to_scipy())
     d = abs(got - ref)
     assert (d.max() if d.nnz else 0.0) < 1e-10 * max(abs(ref).max(), 1)
+
+
+def test_window_kernel_t_ladder_direct():
+    """t_real < 8 (the window-tightness ladder): tiles carry sentinel
+    slots 4..8 and the wrapper drops them; direct kernel check against
+    a numpy block-product reference."""
+    from bmsparse_tpu.ops.pallas.spgemm_window_kernel import (
+        TILE_CHUNKS, numeric_window_pallas, pad_table,
+    )
+
+    rng = np.random.default_rng(21)
+    nb = 300
+    kg, t_real, ntiles = 2, 4, 2
+    cap = ntiles * t_real
+    a_flat = rng.standard_normal((nb, 64)).astype(np.float32)
+    b_flat = rng.standard_normal((nb, 64)).astype(np.float32)
+    # absolute slot tables, clustered per tile so windows fit
+    ta_abs = np.full((ntiles, kg, TILE_CHUNKS, 128), nb, np.int64)
+    tb_abs = np.full((ntiles, kg, TILE_CHUNKS, 128), nb, np.int64)
+    ws = np.array([0, 40], np.int32)
+    for i in range(ntiles):
+        ta_abs[i, :, :t_real] = rng.integers(
+            ws[i], ws[i] + 200, size=(kg, t_real, 128))
+        tb_abs[i, :, :t_real] = rng.integers(
+            ws[i], ws[i] + 200, size=(kg, t_real, 128))
+    wa = wb = 256
+    ra = np.where(ta_abs >= nb, 1 << 24,
+                  ta_abs - ws[:, None, None, None]).astype(np.int32)
+    rb = np.where(tb_abs >= nb, 1 << 24,
+                  tb_abs - ws[:, None, None, None]).astype(np.int32)
+    a_t = jnp.concatenate(
+        [jnp.asarray(a_flat).T, jnp.zeros((64, 1), jnp.float32)], axis=1)
+    b_t = jnp.concatenate(
+        [jnp.asarray(b_flat).T, jnp.zeros((64, 1), jnp.float32)], axis=1)
+    out = np.asarray(numeric_window_pallas(
+        pad_table(a_t, 512), pad_table(b_t, 512),
+        jnp.asarray(ra), jnp.asarray(rb),
+        jnp.asarray(ws), jnp.asarray(ws), kg, wa, wb, t_real=t_real,
+    ))
+    assert out.shape == (cap * 128, 64)
+    # numpy reference: per slot, C[i,m] = sum_k sum_j A[i*8+j]*B[j*8+m]
+    ae = np.concatenate([a_flat, np.zeros((1, 64), np.float32)])
+    be = np.concatenate([b_flat, np.zeros((1, 64), np.float32)])
+    for tile in range(ntiles):
+        for c in range(t_real):
+            for lane in (0, 7, 127):
+                acc = np.zeros((8, 8), np.float32)
+                for k in range(kg):
+                    av = ae[min(ta_abs[tile, k, c, lane], nb)].reshape(
+                        8, 8)
+                    bv = be[min(tb_abs[tile, k, c, lane], nb)].reshape(
+                        8, 8)
+                    acc += av @ bv  # B slots [j*8+m]: bv axes are (j, m)
+                row = (tile * t_real + c) * 128 + lane
+                np.testing.assert_allclose(
+                    out[row].reshape(8, 8), acc, rtol=1e-4, atol=1e-4)
 
 
 def test_cached_product_uses_windows():
