@@ -57,25 +57,30 @@ def window_vmem_bytes(wa: int, wb: int, itemsize: int = 4) -> int:
 
 
 def _gather_window(win, idx, w: int, t: int):
-    """(64, w) window + (t, 128) relative indices -> (64, t*128) f32
+    """(64, w) window + (t, 128) relative indices -> (64, t, 128) f32
     gathered values.
 
     Explicit quarter-select lowering: one in-register lane shuffle per
-    128-lane window quarter + a select, so Mosaic never sees a gather
-    wider than one vreg row. Out-of-window indices (sentinels) select
-    nothing and stay exactly zero.
+    (chunk, window quarter) + a select. Mosaic lowers take_along_axis
+    only when the index array matches the operand shape exactly (its
+    gather rule asserts indices.shape == operand.shape + (1,) — found
+    the hard way on v5e), so every gather here is a (64, 128) x
+    (64, 128) dynamic_gather over one vreg row. Out-of-window indices
+    (sentinels) select nothing and stay exactly zero.
     """
-    tl = t * 128
-    idxf = idx.reshape(1, tl)
-    q = jnp.broadcast_to(idxf // 128, (64, tl))
-    r = jnp.broadcast_to(idxf % 128, (64, tl))
-    out = jnp.zeros((64, tl), jnp.float32)
-    for j in range(w // 128):
-        part = jnp.take_along_axis(
-            win[:, j * 128:(j + 1) * 128], r, axis=1
-        ).astype(jnp.float32)
-        out = jnp.where(q == j, part, out)
-    return out
+    outs = []
+    for tt in range(t):
+        lane = idx[tt].reshape(1, 128)
+        q = jnp.broadcast_to(lane // 128, (64, 128))
+        r = jnp.broadcast_to(lane % 128, (64, 128))
+        out = jnp.zeros((64, 128), jnp.float32)
+        for j in range(w // 128):
+            part = jnp.take_along_axis(
+                win[:, j * 128:(j + 1) * 128], r, axis=1
+            ).astype(jnp.float32)
+            out = jnp.where(q == j, part, out)
+        outs.append(out)
+    return jnp.stack(outs, axis=1)
 
 
 def _spgemm_window_kernel(
@@ -128,8 +133,8 @@ def _spgemm_window_kernel(
 
     va = _gather_window(wina_ref[i % 2], ra_ref[0, 0], wa, t)
     vb = _gather_window(winb_ref[i % 2], rb_ref[0, 0], wb, t)
-    x = [va[s].reshape(t, 128) for s in range(64)]
-    y = [vb[s].reshape(t, 128) for s in range(64)]
+    x = [va[s] for s in range(64)]
+    y = [vb[s] for s in range(64)]
     # per-task 8x8x8 block product, K-accumulated in the resident output
     # (slot layouts: A row-major [i*8+j], B transposed-load [j*8+m] —
     # identical to spgemm_kernel._sell_kernel)
