@@ -262,7 +262,9 @@ def main():
                 step = lambda s, mm: spmv(mm, s) * jnp.float32(1e-2)
                 t = time_chain(step, v0, iters=30, args=(mp,))
             except Exception as e:
-                log(f"SpMV {name} [{impl}] failed: {e}")
+                import traceback as _tb
+                log(f"SpMV {name} [{impl}] failed: {repr(e)[:500]}\n"
+                    + _tb.format_exc(limit=6)[:2000])
                 from bmsparse_tpu import get_config, set_config
                 if nwin and get_config().sell_pallas:
                     # a windowed-SELL kernel compile failure must not
@@ -471,7 +473,11 @@ def main():
                 log(f"SpGEMM {name} [bf16 tiles]: num={t16*1e3:.2f}ms")
                 detail["spgemm"][name]["num_bf16_seconds"] = t16
         except Exception as e:
-            log(f"SpGEMM {name} failed: {e}")
+            # repr + traceback: the round-3 failure artifact carried an
+            # empty str(e) and the root cause was unrecoverable from it
+            import traceback as _tb
+            log(f"SpGEMM {name} failed: {repr(e)[:500]}\n"
+                + _tb.format_exc(limit=6)[:2000])
             from bmsparse_tpu import get_config, set_config
             if get_config().spgemm_winkernel != "off":
                 # a window-kernel compile failure must not cost the

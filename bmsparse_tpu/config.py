@@ -60,6 +60,13 @@ class Config:
     # the grid sequentially in Python — always slower than the XLA
     # paths), "on" = force (tests), "off" = never.
     spgemm_winkernel: str = os.environ.get("BMSP_SPGEMM_WINKERNEL", "auto")
+    # SpGEMM compress stage: "scatter" (row scatter-add) | "fold"
+    # (gather-fold contributor table, still subject to its validity
+    # bounds) | "auto" = scatter. Measured on v5e (band256k, round 4):
+    # fold 9.06 ms vs scatter 5.89 ms for the same num phase AND ~2.5 ms
+    # extra plan time for the fold table — the round-3 fold heuristic
+    # was a measured regression, so auto no longer picks it.
+    spgemm_compress: str = os.environ.get("BMSP_SPGEMM_COMPRESS", "auto")
     # Verbose per-phase timing (ref: VERBOSE flag, src/bmSparse_SPGEMM.cu:835).
     verbose: bool = _env_bool("BMSP_VERBOSE", False)
 

@@ -159,40 +159,62 @@ class BmSparse:
         return dataclasses.replace(self, values=self.values.astype(dtype))
 
     # ------------------------------------------------------------------
-    def generate_coo(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def generate_coo(
+        self, order: str = "rowcol"
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Decompress to host COO (rows, cols, values) — the verification
         path of the reference (`generate_coo`, ref: src/bmSpMatrix.cu:320-363).
 
-        Returns arrays of length == true nnz, sorted by (row, col).
-        """
-        nb = int(self.nb)
-        brow = np.asarray(self.brow)[:nb]
-        bcol = np.asarray(self.bcol)[:nb]
-        hi = np.asarray(self.bmp_hi)[:nb].astype(np.uint64)
-        lo = np.asarray(self.bmp_lo)[:nb].astype(np.uint64)
-        offsets = np.asarray(self.offsets)[:nb]
-        values = np.asarray(self.values)
+        Returns arrays of length == true nnz; values as float64.
+        order: "rowcol" sorts by (row, col) — the reference's contract
+        (ref: src/bmSpMatrix.cu:355-356); "any" skips the sort for
+        order-independent consumers (plan building, scipy interop) —
+        a 35M-nnz lexsort costs ~10 s the consumer doesn't need.
 
-        bmp = (hi << np.uint64(32)) | lo
-        addr = np.arange(64, dtype=np.uint64)
-        bits = ((bmp[:, None] >> (np.uint64(63) - addr)) & np.uint64(1)).astype(np.int64)
-        slot = np.cumsum(bits, axis=1) - bits
-        if self.transposed:
-            rel_j, rel_i = np.divmod(np.arange(64), 8)
-        else:
-            rel_i, rel_j = np.divmod(np.arange(64), 8)
-        kk, aa = np.nonzero(bits)
-        rows = brow[kk] * BLOCK_HEIGHT + rel_i[aa]
-        cols = bcol[kk] * BLOCK_WIDTH + rel_j[aa]
-        vals = values[offsets[kk] + slot[kk, aa]]
-        order = np.lexsort((cols, rows))
-        return rows[order], cols[order], vals[order].astype(np.float64)
+        The triplets come from the host-array cache when a host-side
+        producer (numpy converter, npz loader, a previous pull) has them
+        — on the tunneled TPU runtime a fresh device pull of the
+        container costs minutes (see format/hostcache.py).
+        """
+        from . import hostcache
+
+        coo = hostcache.get(self, "coo")
+        if coo is None:
+            brow, bcol, hi, lo, offsets, values = (
+                hostcache.fetch_format_arrays(self)
+            )
+            bmp = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(
+                np.uint64
+            )
+            addr = np.arange(64, dtype=np.uint64)
+            # narrow dtypes: the (nb, 64) intermediates are the dominant
+            # host cost at 35M+ nnz
+            bits = (
+                (bmp[:, None] >> (np.uint64(63) - addr)) & np.uint64(1)
+            ).astype(np.uint8)
+            slot = (np.cumsum(bits, axis=1, dtype=np.int16)
+                    - bits).astype(np.int32)
+            if self.transposed:
+                rel_j, rel_i = np.divmod(np.arange(64, dtype=np.int32), 8)
+            else:
+                rel_i, rel_j = np.divmod(np.arange(64, dtype=np.int32), 8)
+            kk, aa = np.nonzero(bits)
+            rows = brow[kk].astype(np.int64) * BLOCK_HEIGHT + rel_i[aa]
+            cols = bcol[kk].astype(np.int64) * BLOCK_WIDTH + rel_j[aa]
+            vals = values[offsets[kk] + slot[kk, aa]]
+            coo = (rows, cols, vals)
+            hostcache.put(self, coo=coo)
+        rows, cols, vals = coo
+        if order == "rowcol":
+            o = np.lexsort((cols, rows))
+            rows, cols, vals = rows[o], cols[o], vals[o]
+        return rows, cols, vals.astype(np.float64)
 
     def to_scipy(self):
         """Dense oracle interop: return a scipy.sparse.coo_matrix."""
         import scipy.sparse as sp
 
-        r, c, v = self.generate_coo()
+        r, c, v = self.generate_coo(order="any")
         return sp.coo_matrix((v, (r, c)), shape=self.shape)
 
     # ------------------------------------------------------------------

@@ -129,9 +129,14 @@ def _coo_to_bmsparse_host(rows, cols, vals, shape, transposed):
         else (rows % 8) * 8 + (cols % 8)
     )
     bid = (rows >> 3) * nbc + (cols >> 3)
-    order = np.lexsort((intra, bid))
-    bid, intra, vals = bid[order], intra[order], vals[order]
-    dup = (bid[1:] == bid[:-1]) & (intra[1:] == intra[:-1])
+    # one combined int64 sort key (block id is < 2^58 for any plausible
+    # shape) — a single-key argsort runs ~3x faster than the old two-key
+    # lexsort at 35M nnz, and element order within a (bid, intra) tie is
+    # irrelevant (ties are duplicates, summed below)
+    key = bid * np.int64(64) + intra
+    order = np.argsort(key)
+    key, vals = key[order], vals[order]
+    dup = key[1:] == key[:-1]
     if dup.any():
         # duplicate (row, col) entries would corrupt the format (bitmap
         # popcount < stored value count); sum them like scipy/cusp COO
@@ -141,28 +146,53 @@ def _coo_to_bmsparse_host(rows, cols, vals, shape, transposed):
         vsum = np.zeros(grp[-1] + 1, vals.dtype)
         np.add.at(vsum, grp, vals)
         keep = np.nonzero(key_new)[0]
-        bid, intra, vals = bid[keep], intra[keep], vsum
-    ublk, start, counts = np.unique(bid, return_index=True, return_counts=True)
-    nb = len(ublk)
+        key, vals = key[keep], vsum
+    bid, intra = np.divmod(key, np.int64(64))
+    # block boundaries straight off the sorted stream (bid is sorted, so
+    # no second sort à la np.unique)
+    first = np.concatenate([[True], bid[1:] != bid[:-1]])
+    start = np.nonzero(first)[0]
+    nb = len(start)
+    counts = np.diff(np.concatenate([start, [len(bid)]]))
+    ublk = bid[start]
     brow = (ublk // nbc).astype(np.int32)
     bcol = (ublk % nbc).astype(np.int32)
-    offsets = (np.cumsum(counts) - counts).astype(np.int32)
-    bmp = np.zeros((nb,), np.uint64)
-    seg = np.repeat(np.arange(nb), counts)
-    np.bitwise_or.at(
-        bmp, seg, np.uint64(1) << (np.uint64(63) - intra.astype(np.uint64))
-    )
+    offsets = start.astype(np.int32)
+    # bitmaps: segment-reduce of disjoint one-hot words (add == OR);
+    # reduceat over the sorted stream replaces np.bitwise_or.at, which
+    # runs ~50x slower (element-at-a-time ufunc dispatch)
+    words = np.uint64(1) << (np.uint64(63) - intra.astype(np.uint64))
+    bmp = np.add.reduceat(words, start)
     hi = (bmp >> np.uint64(32)).astype(np.uint32)
     lo = (bmp & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     dtype = vals.dtype if np.issubdtype(vals.dtype, np.floating) else np.float32
-    return BmSparse(
+    vals = vals.astype(dtype)
+    m = BmSparse(
         brow=jnp.asarray(brow), bcol=jnp.asarray(bcol),
         bmp_hi=jnp.asarray(hi), bmp_lo=jnp.asarray(lo),
-        offsets=jnp.asarray(offsets), values=jnp.asarray(vals.astype(dtype)),
+        offsets=jnp.asarray(offsets), values=jnp.asarray(vals),
         nb=jnp.int32(nb),
         num_rows=shape[0], num_cols=shape[1], nnz=len(vals),
         transposed=transposed,
     )
+    # register host copies: every later host-side consumer (generate_coo,
+    # plan building, npz dumps) reads them instead of pulling the device
+    # arrays back over the tunnel (format/hostcache.py)
+    from . import hostcache
+
+    r_all = (bid // nbc) * np.int64(BLOCK_HEIGHT)
+    if transposed:
+        r_all = r_all + (intra % 8)
+        c_all = (bid % nbc) * np.int64(BLOCK_WIDTH) + intra // 8
+    else:
+        r_all = r_all + intra // 8
+        c_all = (bid % nbc) * np.int64(BLOCK_WIDTH) + (intra % 8)
+    hostcache.put(
+        m, coo=(r_all, c_all, vals),
+        brow=brow, bcol=bcol, bmp_hi=hi, bmp_lo=lo,
+        offsets=offsets, values=vals,
+    )
+    return m
 
 
 def coo_to_bmsparse(

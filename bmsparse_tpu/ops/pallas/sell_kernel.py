@@ -38,10 +38,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Window width in column units (one unit = cw scalars of v). 128 keeps
-# the gather tile at exactly one (cw, 128) vreg row — the single-shuffle
-# fast case. The planner pads the v table's lane dim to >= W.
-WINDOW_UNITS = 128
+# Window width in column units (one unit = cw scalars of v). 256 = two
+# 128-lane vreg rows: the gather is a two-quarter select (two lane
+# shuffles + one select). Window starts must be 128-ALIGNED — Mosaic
+# requires the DMA's dynamic lane offset to be provably 128-divisible —
+# and alignment eats up to 127 units of a 128-wide window, so 256 keeps
+# every previously-eligible chunk eligible. The planner pads the v
+# table's lane dim to >= W.
+WINDOW_UNITS = 256
 
 # Per-chunk VMEM budget for the double-buffered dense/idx blocks plus
 # the window pair; k-slicing keeps every group under it.
@@ -99,8 +103,10 @@ def _sell_window_kernel(
     w = win_ref.shape[2]
 
     def win_dma(slot, chunk):
+        # starts are 128-aligned by the planner; the hint lets Mosaic
+        # prove the HBM lane slice is tileable
         return pltpu.make_async_copy(
-            vtab_ref.at[:, pl.ds(ws_ref[chunk], w)],
+            vtab_ref.at[:, pl.ds(pl.multiple_of(ws_ref[chunk], 128), w)],
             win_ref.at[slot],
             sem_ref.at[slot],
         )
@@ -124,8 +130,15 @@ def _sell_window_kernel(
 
     acc = jnp.zeros((8, 128), jnp.float32)
     for k in range(ks):
-        idx = jnp.broadcast_to(rel_ref[0, k, 0][None, :], (cw, 128))
-        vseg = jnp.take_along_axis(win, idx, axis=1)     # (cw, 128)
+        rel = rel_ref[0, k, 0][None, :]                  # (1, 128), [0, W)
+        idx = jnp.broadcast_to(rel % 128, (cw, 128))
+        # two-quarter select: one lane shuffle per 128-lane window half
+        vseg = jnp.take_along_axis(win[:, :128], idx, axis=1)
+        for q in range(1, w // 128):
+            part = jnp.take_along_axis(
+                win[:, q * 128:(q + 1) * 128], idx, axis=1)
+            vseg = jnp.where(
+                jnp.broadcast_to(rel // 128, (cw, 128)) == q, part, vseg)
         # dense[w, k*8+i, lane] * v[w of slot(k, lane)] summed over w;
         # the last k-slice's tail blocks read edge padding — masked.
         dk = dense_ref[:, 0, k * 8:(k + 1) * 8, :]       # (cw, 8, 128)

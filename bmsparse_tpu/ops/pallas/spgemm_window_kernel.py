@@ -106,8 +106,12 @@ def _spgemm_window_kernel(
     ntiles = pl.num_programs(0)
 
     def dma(tbl_ref, win_ref, sem_ref, ws_ref, slot, tile, w):
+        # window starts are 128-aligned by the planner; without the
+        # multiple_of hint Mosaic refuses the HBM slice ("Failed to
+        # prove that a tile index in dimension 1 is divisible by the
+        # tiling (128)" — the round-3 TPU crash)
         return pltpu.make_async_copy(
-            tbl_ref.at[:, pl.ds(ws_ref[tile], w)],
+            tbl_ref.at[:, pl.ds(pl.multiple_of(ws_ref[tile], 128), w)],
             win_ref.at[slot],
             sem_ref.at[slot],
         )

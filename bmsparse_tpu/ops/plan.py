@@ -133,7 +133,13 @@ class Prepared:
     """A BmSparse plus its tiered, TPU-layout execution plan."""
 
     m: BmSparse
-    dense_flat: jax.Array        # (nb_pad, 64) row-major slots (SpGEMM reuse)
+    # (nb_pad, 64) row-major dense slots — LAZY (see the dense_flat
+    # property): only the SpGEMM paths consume it, and materializing the
+    # 200 MB device array inside every SpMV prepare() cost ~14 s of the
+    # bench budget per matrix
+    dense_flat_: jax.Array | None = None
+    plan_dtype: str = dataclasses.field(
+        metadata=dict(static=True), default="float32")
 
     # --- DIA tier (None disables) ---
     # natural (rows, 128) layout: dia[d, q, l] is the diagonal-d entry of
@@ -167,6 +173,19 @@ class Prepared:
     out_gather: jax.Array | None = None   # (block_rows,) int32
     sell_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
 
+    @property
+    def dense_flat(self) -> jax.Array:
+        """(nb_pad, 64) dense row-major slots in the plan dtype, computed
+        on first SpGEMM use and memoized (not under a trace)."""
+        df = object.__getattribute__(self, "dense_flat_")
+        if df is not None:
+            return df
+        m = object.__getattribute__(self, "m")
+        df = m.decompress_blocks_flat().astype(jnp.dtype(self.plan_dtype))
+        if not isinstance(df, jax.core.Tracer):
+            object.__setattr__(self, "dense_flat_", df)
+        return df
+
     def __getattr__(self, name):
         return getattr(object.__getattribute__(self, "m"), name)
 
@@ -179,7 +198,12 @@ def _choose_diagonals(
     if len(rows) == 0:
         return np.empty((0,), np.int64)
     dev = cols.astype(np.int64) - rows.astype(np.int64) - col_shift
-    offs, counts = np.unique(dev, return_counts=True)
+    # offset histogram via bincount over the bounded range (np.unique
+    # sorts the whole nnz stream — ~4 s at 35M nnz, bincount ~0.1 s)
+    lo_b = int(dev.min())
+    hist = np.bincount(dev - lo_b)
+    offs = np.nonzero(hist)[0] + lo_b
+    counts = hist[offs - lo_b]
     # diag o holds (i, i+col_shift+o) for
     # i in [max(0,-col_shift-o), min(n_rows, n_cols-col_shift-o))
     length = (np.minimum(n_rows, n_cols - col_shift - offs)
@@ -223,9 +247,8 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
         dtype = m.dtype if jnp.issubdtype(m.dtype, jnp.floating) \
             else jnp.float32
     np_dtype = np.dtype(dtype)
-    dense_flat = m.decompress_blocks_flat().astype(dtype)
 
-    rows, cols, vals = m.generate_coo()
+    rows, cols, vals = m.generate_coo(order="any")
     rows = rows.astype(np.int64)
     cols = cols.astype(np.int64)
     vals = vals.astype(np_dtype)
@@ -426,12 +449,14 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
                 real = bcol_g != ncu                     # (cap, kg, 128)
                 wmin = np.where(real, bcol_g, 2**30).min(axis=(1, 2))
                 wmax = np.where(real, bcol_g, -1).max(axis=(1, 2))
-                if bool(((wmax - wmin < _sk.WINDOW_UNITS)
+                # 128-aligned starts (the kernel's DMA requires it);
+                # eligibility measured from the aligned start
+                al = np.where(wmax < 0, 0, wmin) // 128 * 128
+                if bool(((wmax - al < _sk.WINDOW_UNITS)
                          | (wmax < 0)).all()):
                     ncu_pad = _sk.ncu_padded(ncu)
                     ws = np.minimum(
-                        np.where(wmax < 0, 0, wmin),
-                        ncu_pad - _sk.WINDOW_UNITS,
+                        al, ncu_pad - _sk.WINDOW_UNITS,
                     ).astype(np.int32)
                     rel = np.where(
                         real, bcol_g - ws[:, None, None], 0
@@ -456,7 +481,7 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
         out_gather = jnp.asarray(og)
 
     return Prepared(
-        m=m, dense_flat=dense_flat,
+        m=m, dense_flat_=None, plan_dtype=np.dtype(dtype).name,
         dia=dia, dia_offsets=dia_offsets,
         sell_dense=tuple(sell_dense), sell_bcol=tuple(sell_bcol),
         sell_ks=tuple(sell_ks),

@@ -1261,9 +1261,14 @@ def _plan_pallas_windows(groups, amin_c, amax_c, bmin_c, bmax_c,
             bx_t = bx.reshape(ntiles, t).max(1)
             real_a = ax_t >= 0
             real_b = bx_t >= 0
-            sp_a = int((ax_t - am_t + 1)[real_a].max()) if real_a.any() \
+            # window starts 128-ALIGNED (Mosaic requires the DMA's
+            # dynamic lane offset to be provably 128-divisible); spans
+            # are measured from the aligned start
+            aa_t = np.where(real_a, am_t, 0) // 128 * 128
+            ab_t = np.where(real_b, bm_t, 0) // 128 * 128
+            sp_a = int((ax_t - aa_t + 1)[real_a].max()) if real_a.any() \
                 else 1
-            sp_b = int((bx_t - bm_t + 1)[real_b].max()) if real_b.any() \
+            sp_b = int((bx_t - ab_t + 1)[real_b].max()) if real_b.any() \
                 else 1
             wa = 256
             while wa < sp_a:
@@ -1275,8 +1280,9 @@ def _plan_pallas_windows(groups, amin_c, amax_c, bmin_c, bmax_c,
                 continue
             if window_vmem_bytes(wa, wb, itemsize) > _VMEM_WINDOW_BUDGET:
                 continue
-            wsa = np.clip(np.where(real_a, am_t, 0), 0, nba_pad - wa)
-            wsb = np.clip(np.where(real_b, bm_t, 0), 0, nbb_pad - wb)
+            # nba_pad/wa are 128-multiples, so the clip keeps alignment
+            wsa = np.clip(aa_t, 0, nba_pad - wa)
+            wsb = np.clip(ab_t, 0, nbb_pad - wb)
             found = ((wa, wb, t, cap),
                      (jnp.asarray(wsa, jnp.int32),
                       jnp.asarray(wsb, jnp.int32)))
@@ -1375,8 +1381,12 @@ def _plan_product(a, b, a_prep, b_prep, timer, verbose,
             for _, c0, c1 in p.groups
         )
         t_rows_pad = max(-(-p.nnz_pad // 64), 1)
+        # fold is opt-in (config "fold"): measured on v5e round 4 it LOST
+        # to the scatter at every bench size (band256k num 9.06 vs
+        # 5.89 ms) while adding ~2.5 ms of plan time for its table
         use_fold = (
-            p.groups and 0 < p.jmax <= _FOLD_MAX_J
+            get_config().spgemm_compress == "fold"
+            and p.groups and 0 < p.jmax <= _FOLD_MAX_J
             and t_rows_pad * p.jmax <= max(4 * r_rows, 1)
             and r_rows <= _FOLD_MAX_ROWS
         )

@@ -116,7 +116,7 @@ def _spmv_prepared(p, v: jax.Array, dia_impl: str = "xla") -> jax.Array:
     # compute dtype: f32 accumulation for f32/bf16 plans (a bf16 plan
     # halves tier storage/traffic — the reference's half-input regime),
     # f64 for double matrices on the CPU path
-    cdt = jnp.promote_types(p.dense_flat.dtype, jnp.float32)
+    cdt = jnp.promote_types(jnp.dtype(p.plan_dtype), jnp.float32)
     nbr = m.block_rows
     nbc = m.block_cols
     npad = nbr * BLOCK_HEIGHT

@@ -279,12 +279,17 @@ def test_spgemm_compress_fold_vs_scatter(monkeypatch):
     import bmsparse_tpu.ops.spgemm as sg
     from bmsparse_tpu.ops.product import prepare_product
 
+    from bmsparse_tpu import set_config
+
     a, bt = _banded(8192, 10, seed=22)
     ref = (a.to_scipy() @ a.to_scipy()).tocsr()
-    pp_fold = prepare_product(a, bt)
-    assert pp_fold.plan.compress_mode == "fold"
-    c1 = pp_fold(a, bt)
-    monkeypatch.setattr(sg, "_FOLD_MAX_J", 0)   # force the scatter path
+    set_config(spgemm_compress="fold")   # fold is opt-in since round 4
+    try:
+        pp_fold = prepare_product(a, bt)
+        assert pp_fold.plan.compress_mode == "fold"
+        c1 = pp_fold(a, bt)
+    finally:
+        set_config(spgemm_compress="auto")
     pp_sc = prepare_product(a, bt)
     assert pp_sc.plan.compress_mode == "scatter"
     c2 = pp_sc(a, bt)
