@@ -135,8 +135,18 @@ def _spgemm_window_kernel(
         dma(a_t_ref, wina_ref, sema_ref, wsa_ref, nxt, i + 1, wa).start()
         dma(b_t_ref, winb_ref, semb_ref, wsb_ref, nxt, i + 1, wb).start()
 
-    va = _gather_window(wina_ref[i % 2], ra_ref[0, 0], wa, t)
-    vb = _gather_window(winb_ref[i % 2], rb_ref[0, 0], wb, t)
+    # bf16 windows cast to f32 in VMEM once per tile: Mosaic's lane
+    # gather requires index/result bitwidths to match ("Gather indices
+    # and result have different bitwidths" on 16-bit operands), and the
+    # products accumulate f32 anyway; HBM still streams 16-bit windows
+    wina = wina_ref[i % 2]
+    winb = winb_ref[i % 2]
+    if wina.dtype != jnp.float32:
+        wina = wina.astype(jnp.float32)
+    if winb.dtype != jnp.float32:
+        winb = winb.astype(jnp.float32)
+    va = _gather_window(wina, ra_ref[0, 0], wa, t)
+    vb = _gather_window(winb, rb_ref[0, 0], wb, t)
     x = [va[s] for s in range(64)]
     y = [vb[s] for s in range(64)]
     # per-task 8x8x8 block product, K-accumulated in the resident output

@@ -275,26 +275,7 @@ def sell_apply(
     vtab = jnp.concatenate(
         [vflat.reshape(ncu, cw).T, jnp.zeros((cw, n_lanes - ncu), cdt)],
         axis=1)
-    # ONE fused v-gather for the XLA-path K-groups (adaptive depth
-    # classes can mean 10+ groups; per-group takes each pay a kernel
-    # dispatch), then free per-group slices of the result.
-    xla_bcol = [
-        b for g, b in enumerate(sell_bcol) if not use_pallas[g]
-    ]
-    if xla_bcol:
-        bcol_all = xla_bcol[0] if len(xla_bcol) == 1 else jnp.concatenate(
-            xla_bcol)
-        if col_base is not None:
-            bcol_all = jnp.clip(
-                jnp.where(
-                    bcol_all == global_sentinel, jnp.int32(ncu),
-                    bcol_all - col_base,
-                ),
-                0, ncu,
-            )
-        vseg_all = jnp.take(vtab, bcol_all, axis=1)   # (cw, xla_slots)
     parts = []
-    off = 0
     for g, (dense_g, bcol_g) in enumerate(zip(sell_dense, sell_bcol)):
         cw_g, ch, kg, _, lanes = dense_g.shape
         if use_pallas[g]:
@@ -305,14 +286,23 @@ def sell_apply(
                 jnp.transpose(contrib, (0, 2, 1)).reshape(-1, BLOCK_HEIGHT)
             )
             continue
-        n_g = bcol_g.shape[0]
-        # static lane slice of the fused gather, then a free lane-split
-        # reshape; the window-major dense layout lines up without a
-        # runtime transpose
-        vseg = jax.lax.slice(
-            vseg_all, (0, off), (cw_g, off + n_g)
+        # per-group 3-D lane gather. The round-3 single fused take
+        # (concatenate all groups' bcol, one take, per-group slices) was
+        # REVERTED by measurement: inside one jit there is no per-take
+        # dispatch cost to save, and the fused variant materializes the
+        # full (cw, slots) gather result — blockdense1M measured
+        # 1470 us fused vs 1280 us per-group 3-D on v5e (round 4).
+        if col_base is not None:
+            bcol_g = jnp.clip(
+                jnp.where(
+                    bcol_g == global_sentinel, jnp.int32(ncu),
+                    bcol_g - col_base,
+                ),
+                0, ncu,
+            )
+        vseg = jnp.take(
+            vtab, bcol_g.reshape(ch, kg, lanes), axis=1
         ).reshape(cw_g, ch, kg, 1, lanes)
-        off += n_g
         # single fused multiply-reduce over (window, k) — an unrolled
         # loop re-reads the accumulator (measured 20% slower)
         contrib = jnp.sum(dense_g * vseg, axis=(0, 2))       # (ch, 8, 128)
