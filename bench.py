@@ -253,8 +253,14 @@ def main():
         mp = prepare(m)
         nwin = sum(r is not None for r in mp.sell_rel)
         cw = mp.sell_dense[0].shape[0] if mp.sell_dense else 0
+        stream_slots = (int(mp.stream.vals_grid.shape[0]) * 128
+                        if mp.stream is not None else 0)
+        stream_res = (int(mp.stream.res_rows.shape[0])
+                      if mp.stream is not None else 0)
         log(f"{name}: ndiags={len(mp.dia_offsets)} sell_ks={mp.sell_ks} "
-            f"cw={cw} windowed_groups={nwin}/{len(mp.sell_ks)}")
+            f"cw={cw} windowed_groups={nwin}/{len(mp.sell_ks)} "
+            f"ovf_ks={mp.ovf_ks} stream_slots={stream_slots} "
+            f"stream_residue={stream_res}")
         # time the auto path only (Pallas DIA on TPU): every extra impl
         # costs a ~40 s tunnel compile that starves the SpGEMM budget
         for impl in ["auto"]:
@@ -298,7 +304,9 @@ def main():
                 # Pallas kernel
                 windowed_groups=(nwin if _gc().sell_pallas else 0),
                 windowed_groups_planned=nwin,
-                total_sell_groups=len(mp.sell_ks))
+                total_sell_groups=len(mp.sell_ks),
+                ovf_groups=len(mp.ovf_ks),
+                stream_slots=stream_slots, stream_residue=stream_res)
             # headline = the production-scale stencil case (the classic
             # PDE SpMV family; its 143 MB strip cannot hide in VMEM
             # across iterations, so the number is a stable cold-HBM

@@ -25,3 +25,29 @@ def apply_platform(args: argparse.Namespace) -> None:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    enable_compile_cache()
+
+
+def enable_compile_cache() -> None:
+    """Point jax at a persistent compilation cache (compiles over the
+    tunneled TPU runtime cost 40-90 s per shape; batch sweeps re-visit
+    the same shapes constantly). Opt out with BMSP_NO_COMPILE_CACHE=1;
+    relocate with BMSP_COMPILE_CACHE=<dir>."""
+    import os
+
+    if os.environ.get("BMSP_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "BMSP_COMPILE_CACHE",
+                os.path.expanduser("~/.cache/bmsparse_jax"),
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        pass

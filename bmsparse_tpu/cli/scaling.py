@@ -268,10 +268,17 @@ def probe_overlap_hlo(spp, mesh) -> dict:
     independent work scheduled between (real overlap), or as a blocking
     op (serialized)? This replaces the round-2 docstring assertion with
     direct evidence; on the CPU simulator the answer is recorded with
-    its backend so nobody mistakes it for the TPU schedule."""
+    its backend so nobody mistakes it for the TPU schedule.
+
+    Round 4 (tools/overlap_probe.py, OVERLAP_TPU.json): on a v5e:2x4
+    AOT schedule the default is synchronous, but compiling with
+    xla_tpu_enable_async_all_to_all=true emits all-to-all-start/done
+    with the local products scheduled between — sharded_multiply now
+    passes that option on multi-chip TPU meshes
+    (parallel/product.py::TPU_OVERLAP_OPTIONS)."""
     import jax
 
-    from ..parallel.product import _multiply_fn
+    from ..parallel.product import TPU_OVERLAP_OPTIONS, _multiply_fn
 
     operands = [
         spp.a_flat, spp.b_flat, spp.send_idx,
@@ -280,8 +287,12 @@ def probe_overlap_hlo(spp, mesh) -> dict:
     ]
     fn = _multiply_fn(spp.nnz_pad, spp.impl, spp.exchange,
                       len(operands), mesh)
+    on_tpu = next(iter(mesh.devices.flat)).platform == "tpu"
     try:
-        txt = fn.lower(*operands).compile().as_text()
+        lowered = fn.lower(*operands)
+        txt = lowered.compile(
+            compiler_options=TPU_OVERLAP_OPTIONS if on_tpu else None
+        ).as_text()
     except Exception as e:  # pragma: no cover
         return {"error": repr(e)}
     res: dict = {"backend": jax.devices()[0].platform}

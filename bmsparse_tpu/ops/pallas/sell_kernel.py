@@ -174,7 +174,7 @@ def sell_window_group(
         num_scalar_prefetch=1,
         grid=(cap, nks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),        # vtab stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # vtab stays in HBM
             # unit dim -2 so the (ks, 1, 128) tail obeys the TPU
             # block-shape rule when ks doesn't divide by 8
             pl.BlockSpec(

@@ -187,8 +187,8 @@ def _window_products(
         num_scalar_prefetch=2,
         grid=(ntiles, kg),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 (1, 1, t, 128), lambda i, kk, wsa, wsb: (i, kk, 0, 0),
                 memory_space=pltpu.VMEM,

@@ -173,6 +173,27 @@ class Prepared:
     out_gather: jax.Array | None = None   # (block_rows,) int32
     sell_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
 
+    # --- Overflow tier: per-row outlier slots (round 4) ---
+    # Rows with locally clustered columns plus a few far links (road
+    # highways, FEM couplings) would disqualify their whole chunk from
+    # the windowed kernel; prepare() splits each row's slots into a core
+    # window (above) and this overflow mini-SELL (XLA gather; ~1% of
+    # slots on road-like structures). Its contribution ADDS to the core
+    # tier via its own row gather.
+    ovf_dense: tuple = ()
+    ovf_bcol: tuple = ()
+    ovf_ks: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    ovf_gather: jax.Array | None = None   # (block_rows,) int32
+    ovf_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    # --- Stream tier (round 4): gather-free scattered-structure path ---
+    # ops/route.py — column-window Pallas products + a static routing
+    # network. Engaged when the non-DIA structure is locality-free AND
+    # near one-scalar-per-block (webgraphs, uniform random): the SELL
+    # tiers would read 64 dense slots per nnz and pay an XLA gather per
+    # slot there. None everywhere else.
+    stream: "object | None" = None
+
     @property
     def dense_flat(self) -> jax.Array:
         """(nb_pad, 64) dense row-major slots in the plan dtype, computed
@@ -188,6 +209,212 @@ class Prepared:
 
     def __getattr__(self, name):
         return getattr(object.__getattribute__(self, "m"), name)
+
+
+def _core_window_mask(
+    ublocks: np.ndarray, ubr: np.ndarray, ubc: np.ndarray,
+    w_row: int, ncu: int,
+) -> np.ndarray:
+    """Per-super-slot core/overflow mask (round 4, VERDICT r3 #2).
+
+    For every block row, keep the densest width-`w_row` (column units)
+    window of its slots (core); slots outside are overflow. A road
+    network's rows are locally clustered except ~1% far "highway" links —
+    one such slot used to disqualify its whole 128-row chunk from the
+    windowed SELL kernel (round 3 measured windowed_groups=0/6 on
+    road1M). ublocks must be sorted (it is: np.unique output).
+    """
+    n = len(ubr)
+    # slots of a row are ubc-ascending inside sorted ublocks, so the
+    # window starting at slot i covers a contiguous run; its end is a
+    # searchsorted on the combined key (clamped so it stays in-row)
+    j_end = np.searchsorted(
+        ublocks, ubr * np.int64(ncu) + np.minimum(ubc + w_row, ncu))
+    cnt = j_end - np.arange(n)
+    rows_u, row_start = np.unique(ubr, return_index=True)
+    # densest window per row, earliest on ties: max of cnt*n + (n-1-i)
+    scored = cnt.astype(np.int64) * n + (n - 1 - np.arange(n))
+    best = np.maximum.reduceat(scored, row_start)
+    best_i = n - 1 - (best % n)
+    lo = ubc[best_i][np.searchsorted(rows_u, ubr)]
+    return (ubc >= lo) & (ubc < lo + w_row)
+
+
+def _build_sell_tier(
+    ub_idx: np.ndarray,
+    ubr: np.ndarray, ubc: np.ndarray,
+    slot: np.ndarray, vals: np.ndarray, binv: np.ndarray,
+    nbr: int, ncu: int, cw: int, np_dtype,
+    *,
+    forced_groups=None,
+    adaptive: bool = False,
+    secondary_wlo: bool = False,
+    win_ok: bool = False,
+    elig_split: bool = False,
+):
+    """Build one SELL tier over the super-slots selected by ub_idx
+    (sorted global indices into the ublocks arrays).
+
+    elig_split: compute per-CHUNK window eligibility and split each K
+    class into an eligible group (gets a ws/rel window plan for the
+    Pallas kernel) and a remainder group (XLA gather) — round 3's
+    all-chunks-or-nothing per-group test never engaged on realistic
+    structures (VERDICT r3 #2).
+
+    Returns (dense, bcol, ks, ws, rel, out_gather_np, rows_total).
+    """
+    sel_ubr = ubr[ub_idx]
+    sel_ubc = ubc[ub_idx]
+    row_count = np.bincount(sel_ubr, minlength=nbr)
+    nonempty = np.nonzero(row_count)[0]
+    # SELL-sigma row order; see prepare() for the tie-break rationale
+    if secondary_wlo:
+        row_minbc = np.full((nbr,), np.int64(ncu))
+        np.minimum.at(row_minbc, sel_ubr, sel_ubc)
+        perm = nonempty[np.lexsort(
+            (nonempty, row_minbc[nonempty], -row_count[nonempty])
+        )]
+    else:
+        perm = nonempty[np.argsort(-row_count[nonempty], kind="stable")]
+    row_pos = np.full((nbr,), -1, np.int64)
+    row_pos[perm] = np.arange(len(perm))
+
+    nchunks = cdiv(len(perm), SELL_C)
+    counts_sorted = row_count[perm]
+    cs_pad = np.zeros((nchunks * SELL_C,), np.int64)
+    cs_pad[: len(perm)] = counts_sorted
+    cm = cs_pad.reshape(nchunks, SELL_C).max(axis=1) if nchunks else \
+        np.zeros((0,), np.int64)
+    if forced_groups is None and adaptive:
+        k_chunk = _adaptive_k_buckets(cm)
+    else:
+        k_chunk = np.array([_bucket_k(int(k)) for k in cm], np.int64)
+
+    p = row_pos[sel_ubr]
+    chunk = p // SELL_C
+    lane = p % SELL_C
+    # rank of the slot within its row (sel arrays are sorted by
+    # (row, col) because ub_idx is ascending over sorted ublocks)
+    krank = np.arange(len(sel_ubr)) - np.searchsorted(sel_ubr, sel_ubr)
+
+    elig = np.zeros((nchunks,), bool)
+    if elig_split and nchunks:
+        cmin = np.full((nchunks,), np.int64(1) << 40)
+        cmax = np.full((nchunks,), np.int64(-1))
+        np.minimum.at(cmin, chunk, sel_ubc)
+        np.maximum.at(cmax, chunk, sel_ubc)
+        al = np.where(cmax < 0, 0, cmin) // 128 * 128
+        elig = (cmax - al < _sk.WINDOW_UNITS) | (cmax < 0)
+
+    if forced_groups is not None:
+        # (K, capacity) pairs; this matrix's chunks with depth K fill
+        # the K group in chunk order, the rest is padding
+        groups_spec = list(forced_groups)
+        kvals = [k for k, _ in groups_spec]
+        assert all(int(k) in kvals for k in np.unique(k_chunk)), (
+            "forced layout lacks a K group this shard needs"
+        )
+        group_of_chunk = np.array(
+            [kvals.index(int(k)) for k in k_chunk], np.int64
+        )
+        local_of_chunk = np.zeros((nchunks,), np.int64)
+        seen: dict = {}
+        for c in range(nchunks):
+            g = int(group_of_chunk[c])
+            local_of_chunk[c] = seen.get(g, 0)
+            seen[g] = local_of_chunk[c] + 1
+        for g, (k, cap) in enumerate(groups_spec):
+            assert seen.get(g, 0) <= cap
+        groups = [(int(k), int(cap), False) for k, cap in groups_spec]
+    else:
+        # groups keyed (K desc, eligible-first); chunks keep their
+        # stable order within a group
+        gkey = [
+            (-int(k), (0 if bool(e) else 1) if elig_split else 1)
+            for k, e in zip(k_chunk, elig)
+        ]
+        uniq = sorted(set(gkey))
+        gid_of = {kk: i for i, kk in enumerate(uniq)}
+        group_of_chunk = np.array(
+            [gid_of[kk] for kk in gkey], np.int64
+        ) if nchunks else np.zeros((0,), np.int64)
+        local_of_chunk = np.zeros((nchunks,), np.int64)
+        caps = np.zeros((max(len(uniq), 1),), np.int64)
+        for g in range(len(uniq)):
+            sel_c = np.nonzero(group_of_chunk == g)[0]
+            local_of_chunk[sel_c] = np.arange(len(sel_c))
+            caps[g] = len(sel_c)
+        groups = [
+            (-uniq[g][0], int(caps[g]), uniq[g][1] == 0)
+            for g in range(len(uniq))
+        ]
+
+    bases = np.cumsum([0] + [cap * SELL_C for _, cap, _ in groups])
+    dense_l: list = []
+    bcol_l: list = []
+    ks_l: list = []
+    ws_l: list = []
+    rel_l: list = []
+    for g, (kg, cap, gelig) in enumerate(groups):
+        sel = group_of_chunk[chunk] == g if nchunks else np.zeros((0,), bool)
+        ub_sel = np.nonzero(sel)[0]
+        dense_g = np.zeros((cap, kg, cw * 8, SELL_C), np_dtype)
+        bcol_g = np.full((cap, kg, SELL_C), ncu, np.int32)
+        if len(ub_sel):
+            cl = local_of_chunk[chunk[ub_sel]]
+            kk = krank[ub_sel]
+            ll = lane[ub_sel]
+            bcol_g[cl, kk, ll] = sel_ubc[ub_sel]
+            # scatter scalars of the selected slots
+            sel_all = np.zeros((len(ubr),), bool)
+            sel_all[ub_idx[ub_sel]] = True
+            s_sel = sel_all[binv]
+            loc = np.searchsorted(ub_idx[ub_sel], binv[s_sel])
+            dense_g[cl[loc], kk[loc], slot[s_sel], ll[loc]] = vals[s_sel]
+        dense_l.append(jnp.asarray(np.ascontiguousarray(
+            dense_g.reshape(cap, kg, cw, 8, SELL_C)
+            .transpose(2, 0, 1, 3, 4)
+        )))
+        bcol_l.append(jnp.asarray(bcol_g.reshape(-1)))
+        ks_l.append(kg)
+        # per-chunk v-window plan for the Pallas SELL kernel
+        ws_g = rel_g = None
+        want_win = win_ok and (gelig if elig_split else True)
+        if want_win and len(ub_sel) and _sk.group_vmem_ok(
+                cw, kg, np_dtype.itemsize):
+            real = bcol_g != ncu                     # (cap, kg, 128)
+            wmin = np.where(real, bcol_g, 2**30).min(axis=(1, 2))
+            wmax = np.where(real, bcol_g, -1).max(axis=(1, 2))
+            # 128-aligned starts (the kernel's DMA requires it);
+            # eligibility measured from the aligned start
+            al = np.where(wmax < 0, 0, wmin) // 128 * 128
+            if bool(((wmax - al < _sk.WINDOW_UNITS)
+                     | (wmax < 0)).all()):
+                ncu_pad = _sk.ncu_padded(ncu)
+                ws = np.minimum(
+                    al, ncu_pad - _sk.WINDOW_UNITS,
+                ).astype(np.int32)
+                rel = np.where(
+                    real, bcol_g - ws[:, None, None], 0
+                ).astype(np.int32)
+                ws_g, rel_g = jnp.asarray(ws), jnp.asarray(rel)
+        ws_l.append(ws_g)
+        rel_l.append(rel_g)
+
+    rows_total = int(bases[-1])
+    if nchunks:
+        stacked_pos = (
+            bases[group_of_chunk] + local_of_chunk * SELL_C
+        )                                   # per chunk
+        og = np.where(
+            row_pos >= 0,
+            stacked_pos[np.clip(row_pos // SELL_C, 0, nchunks - 1)]
+            + row_pos % SELL_C,
+            rows_total,
+        ).astype(np.int32)
+    else:
+        og = np.full((nbr,), rows_total, np.int32)
+    return dense_l, bcol_l, ks_l, ws_l, rel_l, og, rows_total
 
 
 def _choose_diagonals(
@@ -310,6 +537,48 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
             cw = 64
     elif sell_unit is not None:
         cw = int(sell_unit)
+    ovf_dense: list = []
+    ovf_bcol: list = []
+    ovf_ks: list = []
+    ovf_gather = None
+    ovf_rows = 0
+    stream = None
+    if len(rows):
+        # --- Stream-tier routing decision (round 4) -------------------
+        # Locality-free structure with ~one scalar per block (webgraph,
+        # uniform random): the block tiers read 64 dense slots per nnz
+        # and pay an XLA gather per slot (~0.14-0.3 G idx/s); the stream
+        # tier (ops/route.py) runs products + a static routing network
+        # at HBM-stream cost instead. Decided BEFORE the block sort so
+        # the scalar arrays are still aligned. Rows heavier than K_CAP
+        # stay on the SELL machinery (deep rows amortize its gathers).
+        single0 = (forced_groups is None and col_shift == 0
+                   and sell_unit is None)
+        if (single0 and np_dtype.itemsize == 4 and np_dtype.kind == "f"
+                and len(rows) >= 1024
+                # cheap pre-gate on the container's own block count: a
+                # stream candidate has ~1 scalar per block (the unique()
+                # below costs seconds at blockdense's 21M scalars)
+                and len(rows) < 3 * int(m.nb)):
+            bid0 = (rows >> 3) * np.int64(cdiv(m.num_cols, cw)) + cols // cw
+            ub0 = np.unique(bid0)
+            if len(rows) < 2 * len(ub0):
+                ncu0 = cdiv(m.num_cols, cw)
+                cmask = _core_window_mask(
+                    ub0, (ub0 // ncu0).astype(np.int64),
+                    (ub0 % ncu0).astype(np.int64),
+                    max(_sk.WINDOW_UNITS - 128, 1), ncu0)
+                if (~cmask).sum() > 0.5 * len(ub0):
+                    from .route import K_CAP, build_stream_plan
+
+                    rcount = np.bincount(rows, minlength=m.num_rows)
+                    hmask = (rcount > K_CAP)[rows]
+                    stream = build_stream_plan(
+                        rows[~hmask], cols[~hmask], vals[~hmask],
+                        m.num_rows, m.num_cols, np_dtype)
+                    rows, cols, vals = (
+                        rows[hmask], cols[hmask], vals[hmask])
+
     if len(rows) or forced_groups:
         ncu = cdiv(m.num_cols, cw)      # column units (cw scalars each)
         br = rows >> 3
@@ -326,159 +595,63 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
         ublocks, binv = np.unique(bid, return_inverse=True)
         ubr = (ublocks // ncu).astype(np.int64)
         ubc = (ublocks % ncu).astype(np.int64)
-        row_count = np.bincount(ubr, minlength=nbr)
 
-        # SELL-sigma: sort block rows by descending count; empty rows drop.
+        # SELL-sigma row order is built inside _build_sell_tier.
         # Secondary key on the single-chip path: the row's minimum block
         # column, so equal-count rows cluster by column window — this is
         # what makes per-chunk v windows tight for the Pallas SELL kernel
         # (ops/pallas/sell_kernel.py) on locally-clustered structures.
         # (Banded matrices get the same effect from natural order; the
         # sharded/halo paths keep the natural tie-break so shard layouts
-        # stay reproducible across the unified-statics union.)
-        nonempty = np.nonzero(row_count)[0]
-        if forced_groups is None and col_shift == 0 and sell_unit is None:
-            row_minbc = np.full((nbr,), np.int64(ncu))
-            np.minimum.at(row_minbc, ubr, ubc)
-            perm = nonempty[np.lexsort(
-                (nonempty, row_minbc[nonempty], -row_count[nonempty])
-            )]
-        else:
-            perm = nonempty[np.argsort(-row_count[nonempty], kind="stable")]
-        row_pos = np.full((nbr,), -1, np.int64)
-        row_pos[perm] = np.arange(len(perm))
-
-        nchunks = cdiv(len(perm), SELL_C)
-        counts_sorted = row_count[perm]
-        # per-chunk padded depth, bucketed to bound the number of groups:
-        # adaptive (optimal per-matrix classes) for single-chip plans,
-        # the fixed geometric ladder when the layout must unify across
-        # shards (forced/col_shift paths)
-        cm = np.zeros((nchunks,), np.int64)
-        for c in range(nchunks):
-            cm[c] = int(counts_sorted[c * SELL_C : (c + 1) * SELL_C].max())
-        # sell_unit is not None marks the sharded/halo paths (they pin
-        # cw) — shard 0 has col_shift == 0, so without this check its
-        # pass-1 plan would report adaptive K classes while other
-        # shards report ladder values, corrupting the cross-shard union
-        if forced_groups is None and col_shift == 0 and sell_unit is None:
-            k_chunk = _adaptive_k_buckets(cm)
-        else:
-            k_chunk = np.array([_bucket_k(int(k)) for k in cm], np.int64)
-        # counts sorted desc => k_chunk non-increasing => groups contiguous
-        # per-block placement: chunk, lane, k-rank within its row
-        p = row_pos[ubr]                       # position in sorted row order
-        chunk = p // SELL_C
-        lane = p % SELL_C
-        # rank of block within its row (blocks are bcol-sorted per row
-        # because ublocks is sorted by bid = br*nbc+bc)
-        row_start_in_ublocks = np.searchsorted(ubr, ubr)  # first idx of row
-        krank = np.arange(len(ubr)) - row_start_in_ublocks
-
-        if forced_groups is not None:
-            # (K, capacity) pairs; this matrix's chunks with depth K fill
-            # the K group in chunk order, the rest is padding
-            groups_spec = list(forced_groups)
-            kvals = [k for k, _ in groups_spec]
-            assert all(int(k) in kvals for k in np.unique(k_chunk)), (
-                "forced layout lacks a K group this shard needs"
-            )
-            group_of_chunk = np.array(
-                [kvals.index(int(k)) for k in k_chunk], np.int64
-            )
-            local_of_chunk = np.zeros((nchunks,), np.int64)
-            seen: dict = {}
-            for c in range(nchunks):
-                g = int(group_of_chunk[c])
-                local_of_chunk[c] = seen.get(g, 0)
-                seen[g] = local_of_chunk[c] + 1
-            for g, (k, cap) in enumerate(groups_spec):
-                assert seen.get(g, 0) <= cap
-        else:
-            boundaries = np.nonzero(np.diff(k_chunk))[0] + 1
-            group_starts = np.concatenate([[0], boundaries, [nchunks]])
-            groups_spec = [
-                (int(k_chunk[int(group_starts[gi])]),
-                 int(group_starts[gi + 1] - group_starts[gi]))
-                for gi in range(len(group_starts) - 1)
-            ]
-            group_of_chunk = np.searchsorted(
-                group_starts[1:], np.arange(nchunks), side="right"
-            )
-            local_of_chunk = np.arange(nchunks) - group_starts[
-                group_of_chunk
-            ]
-
-        # stacked-row base of each group
-        bases = np.cumsum([0] + [cap * SELL_C for _, cap in groups_spec])
+        # stay reproducible across the unified-statics union. They also
+        # keep the fixed K ladder — sell_unit is not None marks them, and
+        # shard 0 has col_shift == 0, so without the sell_unit check its
+        # pass-1 plan would report adaptive K classes while other shards
+        # report ladder values, corrupting the cross-shard union.)
+        single = (forced_groups is None and col_shift == 0
+                  and sell_unit is None)
         # Pallas window eligibility: single-chip f32/bf16 plans (the
         # sharded/halo paths remap bcol at trace time; f64 has no TPU
         # vector unit). bf16 dense tiles stream at half the HBM bytes
         # and cast to f32 in-register inside the kernel.
         win_ok = (
-            forced_groups is None and col_shift == 0 and sell_unit is None
+            single
             and np_dtype.itemsize in (2, 4)
             and np_dtype.kind in ("f", "V")   # bf16 is a void-kind dtype
         )
-        for g, (kg, cap) in enumerate(groups_spec):
-            sel = group_of_chunk[chunk] == g if nchunks else np.zeros(
-                (0,), bool
-            )
-            ub_sel = np.nonzero(sel)[0]
-            dense_g = np.zeros((cap, kg, cw * 8, SELL_C), np_dtype)
-            bcol_g = np.full((cap, kg, SELL_C), ncu, np.int32)
-            if len(ub_sel):
-                cl = local_of_chunk[chunk[ub_sel]]
-                kk = krank[ub_sel]
-                ll = lane[ub_sel]
-                bcol_g[cl, kk, ll] = ubc[ub_sel]
-                # scatter scalars of the selected slots
-                s_sel = sel[binv]
-                loc = np.searchsorted(ub_sel, binv[s_sel])
-                dense_g[cl[loc], kk[loc], slot[s_sel], ll[loc]] = vals[s_sel]
-            sell_dense.append(jnp.asarray(np.ascontiguousarray(
-                dense_g.reshape(cap, kg, cw, 8, SELL_C)
-                .transpose(2, 0, 1, 3, 4)
-            )))
-            sell_bcol.append(jnp.asarray(bcol_g.reshape(-1)))
-            sell_ks.append(kg)
-            # per-chunk v-window plan for the Pallas SELL kernel
-            ws_g = rel_g = None
-            if win_ok and len(ub_sel) and _sk.group_vmem_ok(
-                    cw, kg, np_dtype.itemsize):
-                real = bcol_g != ncu                     # (cap, kg, 128)
-                wmin = np.where(real, bcol_g, 2**30).min(axis=(1, 2))
-                wmax = np.where(real, bcol_g, -1).max(axis=(1, 2))
-                # 128-aligned starts (the kernel's DMA requires it);
-                # eligibility measured from the aligned start
-                al = np.where(wmax < 0, 0, wmin) // 128 * 128
-                if bool(((wmax - al < _sk.WINDOW_UNITS)
-                         | (wmax < 0)).all()):
-                    ncu_pad = _sk.ncu_padded(ncu)
-                    ws = np.minimum(
-                        al, ncu_pad - _sk.WINDOW_UNITS,
-                    ).astype(np.int32)
-                    rel = np.where(
-                        real, bcol_g - ws[:, None, None], 0
-                    ).astype(np.int32)
-                    ws_g, rel_g = jnp.asarray(ws), jnp.asarray(rel)
-            sell_ws.append(ws_g)
-            sell_rel.append(rel_g)
 
-        sell_rows = int(bases[-1])
-        if nchunks:
-            stacked_pos = (
-                bases[group_of_chunk] + local_of_chunk * SELL_C
-            )                                   # per chunk
-            og = np.where(
-                row_pos >= 0,
-                stacked_pos[np.clip(row_pos // SELL_C, 0, nchunks - 1)]
-                + row_pos % SELL_C,
-                sell_rows,
-            ).astype(np.int32)
-        else:
-            og = np.full((nbr,), sell_rows, np.int32)
+        # Core/overflow split (round 4): keep each row's densest column
+        # window in the main tier; far outliers (road highways, random
+        # couplings) move to a small overflow mini-SELL so they cannot
+        # disqualify their chunk from the windowed kernel. Skipped when
+        # nothing overflows, or when >50% of slots would (webgraph-like
+        # structures where windows are hopeless anyway).
+        core_idx = np.arange(len(ublocks))
+        ovf_idx = None
+        if single and win_ok and len(ublocks):
+            core_mask = _core_window_mask(
+                ublocks, ubr, ubc, max(_sk.WINDOW_UNITS - 128, 1), ncu)
+            n_ovf = int((~core_mask).sum())
+            if 0 < n_ovf <= 0.5 * len(ublocks):
+                core_idx = np.nonzero(core_mask)[0]
+                ovf_idx = np.nonzero(~core_mask)[0]
+
+        (sell_dense, sell_bcol, sell_ks, sell_ws, sell_rel,
+         og, sell_rows) = _build_sell_tier(
+            core_idx, ubr, ubc, slot, vals, binv, nbr, ncu, cw, np_dtype,
+            forced_groups=forced_groups, adaptive=single,
+            secondary_wlo=single, win_ok=win_ok,
+            elig_split=single and win_ok,
+        )
         out_gather = jnp.asarray(og)
+        if ovf_idx is not None:
+            (ovf_dense, ovf_bcol, ovf_ks, _, _,
+             og2, ovf_rows) = _build_sell_tier(
+                ovf_idx, ubr, ubc, slot, vals, binv, nbr, ncu, cw,
+                np_dtype, forced_groups=None, adaptive=False,
+                secondary_wlo=False, win_ok=False, elig_split=False,
+            )
+            ovf_gather = jnp.asarray(og2)
 
     return Prepared(
         m=m, dense_flat_=None, plan_dtype=np.dtype(dtype).name,
@@ -487,6 +660,9 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
         sell_ks=tuple(sell_ks),
         sell_ws=tuple(sell_ws), sell_rel=tuple(sell_rel),
         out_gather=out_gather, sell_rows=sell_rows,
+        ovf_dense=tuple(ovf_dense), ovf_bcol=tuple(ovf_bcol),
+        ovf_ks=tuple(ovf_ks), ovf_gather=ovf_gather, ovf_rows=ovf_rows,
+        stream=stream,
     )
 
 

@@ -1,0 +1,252 @@
+"""Stream tier: gather-free SpMV for scattered structures (round 4).
+
+The reference covers webgraph-like matrices with its one gather kernel —
+on a GPU, random v reads ride the L2 at device gather speed
+(ref: src/bmSparse_SPMV.cu:84-189). TPUs have no gather hardware: XLA
+dynamic takes cost ~0.14-0.3 G idx/s (measured, scratch/exp_gather.json)
+which capped web256k at 0.27 Gnnz/s through round 3. This module
+replaces the per-slot gather entirely:
+
+  1. PRODUCTS in column order. Scalar nnz are sorted by column at plan
+     time, so every 8x128 tile's sources sit in one narrow v window; the
+     Pallas window_product kernel DMAs the window once and resolves each
+     lane with an in-register quarter-select (measured 27 G idx/s — two
+     orders of magnitude over XLA takes). The within-window slot order
+     is chosen so each element's LANE already equals its destination
+     lane — the first routing stage costs nothing.
+  2. A STATIC ROUTING NETWORK delivers every product to its destination
+     cell (k, row) of a natural-row-order SELL grid. Destinations are
+     plan-time constants, so the movement decomposes into two in-register
+     lane-shuffle stages (ops/pallas/shuffle_kernel.rowwise_gather)
+     bridged by XLA transposes — a Benes-style network at HBM-stream
+     cost. Collisions (two elements wanting the same slack slot) are
+     resolved at plan time; the few that do not fit (<1%) fall back to
+     one small XLA gather + segment_sum.
+  3. u = dense sum over the K axis — no scatter, no final permutation
+     (the grid is in natural row order).
+
+Everything data-dependent happens once in prepare(); the per-call op is
+three Pallas launches, two transposes, and dense sums.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pallas.shuffle_kernel import rowwise_gather, window_product
+
+W_STREAM = 1024        # v window width (scalars); 8 quarter selects
+S2 = 4                 # stage-2 slack slots per (sub-row, dest lane)
+S3 = 2                 # stage-3 slack slots per (slab row, ahi, amod)
+EXTRA_ROWS = 4         # per-window-group row quota beyond ceil(m/128)
+K_CAP = 64             # rows with more slots go to the block-SELL tier
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StreamPlan:
+    """Static routing plan for one matrix's scattered slots."""
+
+    vals_grid: jax.Array        # (R1, 128) coefficients, source order
+    rel_grid: jax.Array         # (R1, 128) int32 window-relative cols
+    ws: jax.Array               # (R1//8,) int32 window starts (aligned)
+    idx2: jax.Array             # (R2, S2, 128) int32 stage-2 tables
+    idx3: jax.Array             # (R3, G3, 128) int32 stage-3 tables
+    res_rows: jax.Array         # (nres,) int32 fallback rows (sorted)
+    res_cols: jax.Array         # (nres,) int32
+    res_vals: jax.Array         # (nres,)
+    w: int = dataclasses.field(metadata=dict(static=True), default=W_STREAM)
+    k: int = dataclasses.field(metadata=dict(static=True), default=0)
+    nq: int = dataclasses.field(metadata=dict(static=True), default=0)
+    nsub: int = dataclasses.field(metadata=dict(static=True), default=0)
+    w3: int = dataclasses.field(metadata=dict(static=True), default=0)
+    nahi: int = dataclasses.field(metadata=dict(static=True), default=0)
+    vtab_len: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+
+def build_stream_plan(
+    rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+    n_rows: int, n_cols: int, np_dtype=np.float32,
+) -> StreamPlan:
+    """Plan-time construction (host numpy, once per matrix).
+
+    rows/cols are SCALAR coordinates; every row must have <= K_CAP
+    entries (the caller routes heavier rows to the block-SELL tier).
+    """
+    nnz = len(rows)
+    rows = rows.astype(np.int64)
+    cols = cols.astype(np.int64)
+    vals = vals.astype(np_dtype)
+
+    # ---- destination cells: (k, row) of a (K, nq*128) grid ------------
+    o = np.lexsort((cols, rows))
+    rows, cols, vals = rows[o], cols[o], vals[o]
+    krank = np.arange(nnz) - np.searchsorted(rows, rows)
+    kmax = int(krank.max()) + 1 if nnz else 1
+    assert kmax <= K_CAP, kmax
+    k = kmax
+    nq = -(-n_rows // 128)
+    dr = krank * np.int64(nq) + rows // 128      # dest row in (k*nq, 128)
+    dl = (rows % 128).astype(np.int64)           # dest lane
+    a = dr // 128
+    b = dr % 128
+    a_count = -(-(k * nq) // 128)      # distinct a values
+    nahi = max(-(-a_count // 128), 1)
+    ahi = (a // 128).astype(np.int64)
+    amod = (a % 128).astype(np.int64)
+
+    # ---- source packing: column windows, lane = dest lane -------------
+    co = np.argsort(cols, kind="stable")
+    # group boundaries: greedy windows of W_STREAM scalars, 128-aligned
+    ws_of_group: list = []
+    sorted_cols = cols[co]
+    # vectorized greedy cut: a new group starts where col >= current end.
+    starts = []
+    i = 0
+    while i < nnz:
+        ws = int(sorted_cols[i]) // 128 * 128
+        starts.append(i)
+        ws_of_group.append(ws)
+        i = int(np.searchsorted(sorted_cols, ws + W_STREAM, side="left"))
+    starts.append(nnz)
+    ngroups = len(ws_of_group)
+
+    r1_of = np.full((nnz,), -1, np.int64)
+    lane_of = dl[co]
+    row_base = 0
+    tile_ws = []
+    res_mask = np.zeros((nnz,), bool)
+    for gi in range(ngroups):
+        s, e = starts[gi], starts[gi + 1]
+        m = e - s
+        quota = -(-m // 128) + EXTRA_ROWS
+        quota = -(-quota // 8) * 8              # tiles share one window
+        lanes = lane_of[s:e]
+        # j-th slot of each lane -> row j (within the group)
+        order = np.lexsort((np.arange(m), lanes))
+        ranks = np.empty((m,), np.int64)
+        ranks[order] = np.arange(m) - np.searchsorted(
+            lanes[order], lanes[order])
+        ok = ranks < quota
+        r1_of[s:e] = np.where(ok, row_base + ranks, -1)
+        res_mask[s:e] = ~ok
+        row_base += quota
+        tile_ws.extend([ws_of_group[gi]] * (quota // 8))
+    r1_count = row_base
+    r1_pad = max(-(-r1_count // 128) * 128, 128)
+    nsub = r1_pad // 128
+    # extend tile_ws to the padded row count (windows start at 0)
+    tile_ws.extend([0] * (r1_pad // 8 - len(tile_ws)))
+
+    # scatter coefficients / relative columns into the source grid
+    vals_grid = np.zeros((r1_pad, 128), np_dtype)
+    rel_grid = np.zeros((r1_pad, 128), np.int32)
+    okm = r1_of >= 0
+    src_r = r1_of[okm]
+    src_l = lane_of[okm]
+    gws = np.repeat(np.asarray(ws_of_group, np.int64),
+                    np.diff(np.asarray(starts)))
+    vals_grid[src_r, src_l] = vals[co][okm]
+    rel_grid[src_r, src_l] = (sorted_cols[okm] - gws[okm]).astype(np.int32)
+
+    # ---- stage 2: (l, sub) rows -> lane b, slack S2 --------------------
+    # element position after T1: row (l, r1 // 128), lane r1 % 128
+    e_l = src_l
+    e_sub = src_r // 128
+    e_srclane = src_r % 128
+    orig = co[okm]                                # original element index
+    e_b = b[orig]
+    e_ahi = ahi[orig]
+    e_amod = amod[orig]
+
+    r2 = 128 * nsub
+    key2 = (e_l * nsub + e_sub) * 128 + e_b
+    o2 = np.lexsort((np.arange(len(key2)), key2))
+    rank2 = np.empty((len(key2),), np.int64)
+    rank2[o2] = np.arange(len(key2)) - np.searchsorted(
+        key2[o2], key2[o2])
+    fit2 = rank2 < S2
+    idx2 = np.full((r2, S2, 128), 128, np.int32)
+    idx2[(e_l * nsub + e_sub)[fit2], rank2[fit2], e_b[fit2]] = \
+        e_srclane[fit2]
+
+    # ---- stage 3: (l, b) slabs -> (ahi, amod), slack S3 ----------------
+    # element position after the T2 swap: slab l*128 + b,
+    # column sub * S2 + rank2
+    g3 = nahi * S3
+    w3 = -(-(nsub * S2) // 128) * 128
+    slab = e_l * 128 + e_b
+    c3 = e_sub * S2 + rank2
+    key3 = (slab * nahi + e_ahi) * 128 + e_amod
+    valid3 = fit2
+    key3m = np.where(valid3, key3, np.int64(-1))
+    o3 = np.lexsort((np.arange(len(key3m)), key3m))
+    rank3 = np.empty((len(key3m),), np.int64)
+    rank3[o3] = np.arange(len(key3m)) - np.searchsorted(
+        key3m[o3], key3m[o3])
+    fit3 = valid3 & (rank3 < S3)
+    idx3 = np.full((16384, g3, 128), w3, np.int32)
+    idx3[slab[fit3], (e_ahi * S3 + rank3)[fit3], e_amod[fit3]] = \
+        c3[fit3].astype(np.int32)
+
+    # ---- residue: anything that missed a slack slot --------------------
+    res_mask[np.nonzero(okm)[0][~fit3]] = True
+    res_ids = co[res_mask]                        # original order ids
+    rr = rows[res_ids].astype(np.int32)
+    rorder = np.argsort(rr, kind="stable")
+    res_rows = rr[rorder]
+    res_cols = cols[res_ids].astype(np.int32)[rorder]
+    res_vals = vals[res_ids][rorder]
+
+    vtab_len = max(int(max(ws_of_group, default=0)) + W_STREAM,
+                   W_STREAM)
+
+    return StreamPlan(
+        vals_grid=jnp.asarray(vals_grid),
+        rel_grid=jnp.asarray(rel_grid),
+        ws=jnp.asarray(np.asarray(tile_ws, np.int32)),
+        idx2=jnp.asarray(idx2),
+        idx3=jnp.asarray(idx3),
+        res_rows=jnp.asarray(res_rows),
+        res_cols=jnp.asarray(res_cols),
+        res_vals=jnp.asarray(res_vals),
+        w=W_STREAM, k=k, nq=nq, nsub=nsub, w3=w3, nahi=nahi,
+        vtab_len=vtab_len, n_rows=n_rows,
+    )
+
+
+def stream_apply(p: StreamPlan, vpad: jax.Array) -> jax.Array:
+    """u_stream (n_rows,) = the planned slots' contribution to A @ v.
+
+    vpad: (>= num_cols,) f32 dense vector (zero-padded).
+    """
+    vtab = jnp.zeros((p.vtab_len,), jnp.float32)
+    vtab = vtab.at[: vpad.shape[0]].set(vpad.astype(jnp.float32))
+
+    a1 = window_product(p.vals_grid, p.rel_grid, p.ws, vtab, w=p.w)
+    t1 = a1.T.reshape(128 * p.nsub, 128)              # (l, sub) rows
+    a2 = rowwise_gather(t1, p.idx2, S2)               # (R2, S2, 128)
+    a2v = a2.reshape(128, p.nsub, S2, 128)
+    x3 = jnp.transpose(a2v, (0, 3, 1, 2)).reshape(16384, p.nsub * S2)
+    if x3.shape[1] < p.w3:
+        x3 = jnp.concatenate(
+            [x3, jnp.zeros((16384, p.w3 - x3.shape[1]), x3.dtype)],
+            axis=1)
+    a3 = rowwise_gather(x3, p.idx3, p.nahi * S3)      # (16384, G3, 128)
+    f = a3.reshape(128, 128, p.nahi, S3, 128).sum(axis=3)
+    grid = jnp.transpose(f, (2, 3, 1, 0)).reshape(-1, 128)
+    grid = grid[: p.k * p.nq]
+    u = grid.reshape(p.k, p.nq, 128).sum(axis=0).reshape(-1)
+
+    if p.res_rows.shape[0]:
+        contrib = p.res_vals.astype(jnp.float32) * jnp.take(
+            vtab, p.res_cols)
+        u = u + jax.ops.segment_sum(
+            contrib, p.res_rows, num_segments=p.nq * 128,
+            indices_are_sorted=True)
+    return u[: p.n_rows]

@@ -511,12 +511,21 @@ def _plan_sell_device(
 
     # per-block bucketed depth (bucket is monotone, so chunk-max of
     # per-block buckets == bucket of chunk-max counts — identical K
-    # padding to the round-2 per-chunk bucketing)
+    # padding to the round-2 per-chunk bucketing). Select ladder, NOT
+    # searchsorted + take: ~40-entry-table takes of a 164k stream cost
+    # ~1.2 ms each on v5e (gathers are per-index; scratch/exp_sorts S5
+    # measured row gathers at 0.031 Grow/s) while 40 fused selects are
+    # one stream pass — this pair of calls was ~80% of the round-4
+    # 3.16 ms plan chain.
     buckets = jnp.asarray(_K_BUCKETS, jnp.int32)
-    bi = jnp.searchsorted(buckets, counts)
-    cb = jnp.take(buckets, jnp.clip(bi, 0, len(_K_BUCKETS) - 1))
-    kb_blk = jnp.where(counts > buckets[-1], counts, cb)
-    kb_blk = jnp.where(counts > 0, kb_blk, 0).astype(jnp.int32)
+
+    def bucket_ceil(c):
+        cb = c
+        for b in reversed(_K_BUCKETS):
+            cb = jnp.where(c <= b, jnp.int32(b), cb)
+        return cb
+
+    kb_blk = jnp.where(counts > 0, bucket_ceil(counts), 0).astype(jnp.int32)
     amin_key = jnp.where(counts > 0, nat_amin, big)
     amax_m = jnp.where(counts > 0, nat_amax, -1)
     bmin_m = jnp.where(counts > 0, nat_bmin, big)
@@ -544,20 +553,29 @@ def _plan_sell_device(
     jpad = b_iota - nbc                                   # <0 for real
     cls_idx = jnp.sum(
         jpad[:, None] >= cumi[None, :], axis=1, dtype=jnp.int32)
-    kb_pad = jnp.where(
-        cls_idx < buckets_desc.shape[0],
-        jnp.take(buckets_desc, jnp.clip(cls_idx, 0,
-                                        buckets_desc.shape[0] - 1)),
-        0,
-    )
+    # select ladder for the same reason as bucket_ceil above
+    kb_pad = jnp.zeros_like(cls_idx)
+    for i in range(len(_K_BUCKETS)):
+        kb_pad = jnp.where(
+            cls_idx == i,
+            jnp.int32(_K_BUCKETS[len(_K_BUCKETS) - 1 - i]), kb_pad)
     key_kb = jnp.where(counts > 0, kb_blk, jnp.where(jpad >= 0, kb_pad, 0))
 
-    (_, amin_s, _, starts_sig, ends_sig, cnt_sig, nat_of_sig,
+    # Secondary key: NATURAL block id (round 4) — inside a class the
+    # stacked rows keep natural order, so sig_off is non-decreasing per
+    # class and the MXU segment-compress kernel
+    # (ops/pallas/compress_kernel.py) gets contiguous per-window input
+    # runs. Real padding still lands at its class END (its b_iota >=
+    # nbc). The round-3 amin secondary clustered operand windows a bit
+    # tighter, but banded structures get the same windows from natural
+    # order and the amin order broke compress monotonicity.
+    (_, _, amin_s, starts_sig, ends_sig, cnt_sig, nat_of_sig,
      sig_hi, sig_lo, sig_off, amax_s, bmin_s, bmax_s) = jax.lax.sort(
-        (-key_kb, amin_key, b_iota,
+        (-key_kb, b_iota,
+         amin_key,
          starts, ends, counts, b_iota,
          nat_hi, nat_lo, nat_off, amax_m, bmin_m, bmax_m),
-        num_keys=3,
+        num_keys=2,
     )
     # zero-count (padding) blocks carried garbage columns through the
     # sort tail — zero them so compress packs nothing for those rows
@@ -567,12 +585,8 @@ def _plan_sell_device(
     sig_off = jnp.where(okb, sig_off, 0)
     nchunk = nbc_pad // 128
     k_raw = jnp.max(cnt_sig.reshape(nchunk, 128), axis=1)
-    bi2 = jnp.searchsorted(buckets, k_raw)
-    cb2 = jnp.take(buckets, jnp.clip(bi2, 0, len(_K_BUCKETS) - 1))
     k_chunk = jnp.where(
-        k_raw > 0,
-        jnp.where(k_raw > buckets[-1], k_raw, cb2),
-        0,
+        k_raw > 0, bucket_ceil(k_raw), 0
     ).astype(jnp.int32)
     amin_c = jnp.min(amin_s.reshape(nchunk, 128), axis=1)
     amax_c = jnp.max(amax_s.reshape(nchunk, 128), axis=1)
@@ -945,6 +959,40 @@ def _compress_fold(
     out128 = jnp.take(w_ext, idx, axis=0, mode="clip").reshape(
         -1, j_n, 128).sum(axis=1)
     return _fold_out(out128, t_rows, num_c_nnz)
+
+
+def _compress_mxu(
+    c_rows: jax.Array,
+    hi: jax.Array, lo: jax.Array, off: jax.Array,
+    groups: tuple, num_c_nnz: int,
+) -> jax.Array:
+    """MXU segment-compress (ops/pallas/compress_kernel.py): replaces the
+    ~2.2 ms row scatter-add with per-class one-hot matmuls. Requires the
+    round-4 natural-order sigma secondary key (sig_off non-decreasing
+    within each K class — see _plan_sell_device)."""
+    from .pallas.compress_kernel import OUT_W, segment_compress_class
+
+    w, _ = _pack_rows(c_rows, hi, lo, off)
+    t_rows = -(-num_c_nnz // 64) if num_c_nnz else 1
+    t_pad = -(-(t_rows + 1) // OUT_W) * OUT_W
+    big = jnp.int32(2**30)
+    b_row = jnp.where(
+        (hi | lo) != 0, (off // 64).astype(jnp.int32), big)
+    out128 = None
+    base = 0
+    for kg, c0, c1 in groups:
+        # the stacked layout pads each group slab to its BUCKETED chunk
+        # count (_plan_stage2); padding rows carry hi == lo == 0 ->
+        # b_row == big, outside every window
+        rows_g = bucket_size(c1 - c0, minimum=1) * 128
+        wc = jax.lax.slice(w, (base, 0), (base + rows_g, 128))
+        bc = jax.lax.slice(b_row, (base,), (base + rows_g,))
+        base += rows_g
+        part = segment_compress_class(wc, bc, t_pad)
+        out128 = part if out128 is None else out128 + part
+    if out128 is None:
+        out128 = jnp.zeros((t_pad, 128), w.dtype)
+    return _fold_out(out128[:t_rows], t_rows, num_c_nnz)
 
 
 @partial(jax.jit, static_argnames=("j_max", "t_rows_pad"))
@@ -1397,7 +1445,13 @@ def _plan_product(a, b, a_prep, b_prep, timer, verbose,
             chunk_base[c0:c1] = base + (
                 np.arange(c1 - c0, dtype=np.int64) * 128)
             base += ch_pad * 128
-        p.compress_mode = "fold" if use_fold else "scatter"
+        cfg_compress = get_config().spgemm_compress
+        if cfg_compress == "mxu" and p.groups:
+            # MXU segment-compress (ops/pallas/compress_kernel.py);
+            # requires the natural-order sigma secondary key
+            p.compress_mode = "mxu"
+        else:
+            p.compress_mode = "fold" if use_fold else "scatter"
         p.nb_pad_c = min(
             round_up(max(bucket_size(max(p.num_c_blocks, 1)), 128), 128),
             p.nbc_pad,
@@ -1612,6 +1666,8 @@ def _numeric_stage(
     lo = sig_lo.astype(jnp.uint32)
     if compress == "fold":
         return _compress_fold(c_rows, hi, lo, sig_off, g_tbl, nnz_pad)
+    if compress == "mxu":
+        return _compress_mxu(c_rows, hi, lo, sig_off, groups, nnz_pad)
     return _compress_rows(c_rows, hi, lo, sig_off, nnz_pad)
 
 

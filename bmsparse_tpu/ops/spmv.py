@@ -143,6 +143,23 @@ def _spmv_prepared(p, v: jax.Array, dia_impl: str = "xla") -> jax.Array:
         )                                              # (nbr, 8)
         u = u + u_sell.reshape(npad)
 
+    if p.ovf_ks:
+        # per-row outlier slots (road highways etc.) live in their own
+        # mini-SELL so they cannot break the core tier's window plans;
+        # XLA gather — the slots are few and scattered by definition
+        u_ovf = sell_apply(
+            p.ovf_dense, p.ovf_bcol, p.ovf_gather, vpad, nbc,
+        )                                              # (nbr, 8)
+        u = u + u_ovf.reshape(npad)
+
+    if p.stream is not None:
+        # scattered-structure slots: Pallas window products + static
+        # routing network (ops/route.py) — no per-slot gathers
+        from .route import stream_apply
+
+        u_s = stream_apply(p.stream, vpad)
+        u = u.at[: u_s.shape[0]].add(u_s.astype(cdt))
+
     return u[: m.num_rows].astype(v.dtype)
 
 

@@ -439,6 +439,16 @@ def _multiply_fn(nnz_pad: int, impl: str, exchange: str,
     return fn
 
 
+# XLA compile options that make the v5e schedule emit the exchange as an
+# async start/done pair with the local A-side products scheduled between
+# them (measured: tools/overlap_probe.py, OVERLAP_TPU.json —
+# all-to-all-start/done with 102 independent instructions between on a
+# v5e:2x4 AOT schedule; the default schedule is synchronous). Multi-chip
+# TPU runs compile with these; the CPU simulator rejects them.
+TPU_OVERLAP_OPTIONS = {"xla_tpu_enable_async_all_to_all": "true"}
+_COMPILED_CACHE: dict = {}
+
+
 def sharded_multiply(spp: ShardedProduct, mesh) -> ShardedBmSparse:
     """Run the planned product over the mesh; returns C sharded like A."""
     operands = [
@@ -448,6 +458,19 @@ def sharded_multiply(spp: ShardedProduct, mesh) -> ShardedBmSparse:
     ]
     fn = _multiply_fn(spp.nnz_pad, spp.impl, spp.exchange,
                       len(operands), mesh)
+    if (len(mesh.devices.flat) > 1
+            and next(iter(mesh.devices.flat)).platform == "tpu"):
+        # compile with the async-exchange schedule (see TPU_OVERLAP_OPTIONS)
+        ck = (id(fn), tuple((x.shape, str(x.dtype)) for x in operands))
+        compiled = _COMPILED_CACHE.get(ck)
+        if compiled is None:
+            try:
+                compiled = fn.lower(*operands).compile(
+                    compiler_options=TPU_OVERLAP_OPTIONS)
+            except Exception:   # pragma: no cover - older runtimes
+                compiled = fn
+            _COMPILED_CACHE[ck] = compiled
+        fn = compiled
     values = fn(*operands)
     return ShardedBmSparse(
         brow=spp.cbrow, bcol=spp.cbcol,

@@ -318,3 +318,38 @@ def test_spgemm_two_sync_plan_counts():
     assert isinstance(p.jmax, int)
     assert p.compress_mode in ("fold", "scatter")
     assert len(p.win) == len(p.groups) == len(p.win_starts)
+
+
+def test_spgemm_mxu_compress_matches_scatter():
+    """The MXU segment-compress (ops/pallas/compress_kernel.py) must
+    produce the same packed C values as the row scatter-add."""
+    import scipy.sparse as sp
+
+    from bmsparse_tpu import coo_to_bmsparse, get_config, set_config
+    from bmsparse_tpu.ops.spgemm import spgemm
+
+    n = 768
+    rng = np.random.default_rng(11)
+    nnz = int(n * n * 0.01)
+    flat = rng.choice(n * n, nnz, replace=False)
+    r, c = np.divmod(flat, n)
+    v = rng.standard_normal(nnz).astype(np.float32)
+    o = np.lexsort((c, r))
+    a = coo_to_bmsparse(r[o].astype(np.int32), c[o].astype(np.int32),
+                        v[o], (n, n), backend="host")
+    bt = coo_to_bmsparse(r[o].astype(np.int32), c[o].astype(np.int32),
+                         v[o], (n, n), transposed=True, backend="host")
+    old = get_config().spgemm_compress
+    try:
+        set_config(spgemm_compress="mxu")
+        c_mxu = spgemm(a, bt, impl="sell")
+        set_config(spgemm_compress="scatter")
+        c_sc = spgemm(a, bt, impl="sell")
+    finally:
+        set_config(spgemm_compress=old)
+    np.testing.assert_allclose(
+        np.asarray(c_mxu.values), np.asarray(c_sc.values),
+        rtol=1e-5, atol=1e-6)
+    ref = (sp.coo_matrix((v, (r, c)), shape=(n, n)).tocsr() ** 2).tocsr()
+    d = abs(c_mxu.to_scipy().tocsr() - ref)
+    assert (d.max() if d.nnz else 0.0) < 1e-4
