@@ -132,7 +132,8 @@ def main():
         return deadline - time.monotonic()
 
     from bmsparse_tpu import coo_to_bmsparse, mmread_bmsparse
-    from bmsparse_tpu.ops.plan import prepare
+    from bmsparse_tpu.io.binary import load_prepared, save_prepared
+    from bmsparse_tpu.ops.plan import PLAN_LAYOUT_VERSION, cast_prepared, prepare
     from bmsparse_tpu.ops.spmv import spmv
     from bmsparse_tpu.config import bucket_size
     from bmsparse_tpu.utils import roofline as rl
@@ -236,10 +237,40 @@ def main():
             log(f"{name}: built in {time.monotonic()-t0:.1f}s")
         return _cache[name]
 
+    _plan_cache: dict = {}
+
+    def get_plan(name, m):
+        """Tiered SpMV plan, disk-cached: the host plan build + upload
+        costs 20-60 s per matrix on this runtime (measured round 5:
+        generate_coo 13.8 s + scatter/upload ~10 s on stencil2M); the
+        pickle reload is ~1 s + one upload."""
+        if name in _plan_cache:
+            return _plan_cache[name]
+        ck = (f"scratch/bench_plan_v{_SUITE_VERSION}."
+              f"{PLAN_LAYOUT_VERSION}_{name}.pkl")
+        t0 = time.monotonic()
+        mp = None
+        if os.path.exists(ck):
+            try:
+                mp = load_prepared(ck, m)
+            except Exception as e:  # pragma: no cover
+                log(f"{name}: plan cache load failed: {e}")
+        how = "loaded"
+        if mp is None:
+            mp = prepare(m)
+            how = "built"
+            try:
+                save_prepared(ck, mp)
+            except Exception as e:  # pragma: no cover
+                log(f"{name}: plan cache save failed: {e}")
+        log(f"{name}: plan {how} in {time.monotonic()-t0:.1f}s")
+        _plan_cache[name] = mp
+        return mp
+
 
     def bench_spmv(name, m):
         nonlocal headline_gnnz, headline_frac
-        if time_left() < 60:
+        if time_left() < 40:
             log(f"SpMV {name}: skipped (bench budget)")
             return
         v0 = jnp.asarray(
@@ -250,7 +281,7 @@ def main():
         roof = rl.roofline_nnz_per_s(min_bytes, nnz, bw)
         roof_vo = rl.roofline_nnz_per_s(
             rl.spmv_min_bytes_values_only(nnz), nnz, bw)
-        mp = prepare(m)
+        mp = get_plan(name, m)
         nwin = sum(r is not None for r in mp.sell_rel)
         cw = mp.sell_dense[0].shape[0] if mp.sell_dense else 0
         stream_slots = (int(mp.stream.vals_grid.shape[0]) * 128
@@ -317,11 +348,13 @@ def main():
             ):
                 headline_gnnz, headline_frac = gnnz, frac
 
-        if name in ("stencil2M", "band2M") and time_left() > 150:
+        if name in ("stencil2M", "band2M") and time_left() > 60:
             # bonus line: bf16 tier storage (the reference's half-input
-            # regime; fp32 accumulation) — roughly halves HBM traffic
+            # regime; fp32 accumulation) — roughly halves HBM traffic.
+            # Derived by an on-device cast (0.5 s) — a host rebuild +
+            # re-upload measured 28 s on this runtime.
             try:
-                mp16 = prepare(m, dtype=jnp.bfloat16)
+                mp16 = cast_prepared(mp, jnp.bfloat16)
                 step = lambda s, mm: spmv(mm, s) * jnp.float32(1e-2)
                 t = time_chain(step, v0, iters=30, args=(mp16,))
                 gnnz = nnz / t / 1e9
@@ -344,7 +377,7 @@ def main():
     from bmsparse_tpu.ops.product import prepare_product
 
     def bench_spgemm(name, m, impl="pallas", e2e_only=False):
-        if time_left() < 120:
+        if time_left() < 90:
             log(f"SpGEMM {name}: skipped (bench budget)")
             return
         try:
@@ -367,7 +400,7 @@ def main():
             # below still record (the e2e costs two full spgemm walls
             # plus their compiles)
             t_e2e = None
-            if e2e_only or time_left() > 240:
+            if e2e_only or time_left() > 150:
                 c = sg.spgemm(m, bt, impl=impl)
                 jax.block_until_ready(c.values)
                 th0 = time.monotonic()
@@ -398,7 +431,7 @@ def main():
                        + nnz2.astype(jnp.uint32))
                 return hi ^ (dep >> 31)
 
-            if time_left() < 150:
+            if time_left() < 100:
                 log(f"SpGEMM {name}: phase chains skipped (bench budget)")
                 return
             t_sym = time_chain(sym_step, m.bmp_hi, iters=10, args=(m, bt))
@@ -441,7 +474,7 @@ def main():
                     jnp.sum(cv) * jnp.float32(1e-30)
                 ).astype(af.dtype)
 
-            if time_left() < 90:
+            if time_left() < 60:
                 log(f"SpGEMM {name}: sym={t_sym*1e3:.2f}ms, num skipped "
                     "(bench budget)")
                 return
@@ -511,9 +544,12 @@ def main():
         ("spgemm", "band256k"),
         ("spmv", "blockdense1M"),
         ("spmv", "fem1M"),
-        ("spgemm", "band2M"),
+        # the scattered-structure capability cases come BEFORE the big
+        # SpGEMM chain: round 4's budget died inside SpGEMM band2M and
+        # never measured them
         ("spmv", "road1M"),
         ("spmv", "web256k"),
+        ("spgemm", "band2M"),
         ("spgemm-e2e", "border4M"),
         ("spgemm", "blockdense64k"),
         ("spmv", "blockdense64k"),
@@ -527,7 +563,7 @@ def main():
         # budget check BEFORE the (possibly minute-scale) matrix build —
         # round 1 built band2M for 69 s and then skipped every benchmark
         # on it
-        need = (90 if kind == "spmv" else 120) + (
+        need = (50 if kind == "spmv" else 90) + (
             0 if name in _cache else _build_est.get(name, 5)
         )
         if time_left() < need:

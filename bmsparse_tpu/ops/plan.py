@@ -42,6 +42,11 @@ from ..config import BLOCK_HEIGHT
 from ..format.bmsparse import BmSparse, cdiv
 from .pallas import sell_kernel as _sk
 
+# Bump whenever prepare()'s output layout/semantics change — disk-cached
+# plan dumps (io/binary.save_prepared) are stamped with this and refuse
+# to load across layout changes.
+PLAN_LAYOUT_VERSION = 5
+
 SELL_C = 128                 # lanes per chunk = VPU lane width
 DIA_MIN_FILL = 0.15          # min diagonal fill to justify a dense pass
 MAX_DIAGS = 128              # cap on extracted diagonals
@@ -663,6 +668,49 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
         ovf_dense=tuple(ovf_dense), ovf_bcol=tuple(ovf_bcol),
         ovf_ks=tuple(ovf_ks), ovf_gather=ovf_gather, ovf_rows=ovf_rows,
         stream=stream,
+    )
+
+
+def cast_prepared(p: Prepared, dtype) -> Prepared:
+    """Re-dtype a Prepared plan's value tiers ON DEVICE (one jitted cast).
+
+    prepare(m, dtype=bf16) rebuilds the whole plan host-side and re-uploads
+    it — measured 28 s for stencil2M over the tunneled runtime, where the
+    device cast costs 0.5 s and produces bit-identical tiers (the tiers
+    are f32 values cast element-wise; structure/index arrays are
+    dtype-independent). The stream tier keeps f32 (its Pallas routing
+    kernels are f32-typed and its payloads are scalars, not tiles).
+
+    Windowed-kernel eligibility is re-checked for the target itemsize:
+    bf16 groups whose (cw, kg) block violates the packed-sublane tile
+    rules (see pallas/sell_kernel.group_vmem_ok) drop their window plan
+    and fall back to the XLA gather, exactly as prepare(m, dtype) would
+    have decided.
+    """
+    np_dtype = np.dtype(dtype)
+    if np_dtype == np.dtype(p.plan_dtype):
+        return p
+    cast = jax.jit(lambda x: x.astype(np_dtype))
+    cw = p.sell_dense[0].shape[0] if p.sell_dense else 8
+    ws_l: list = []
+    rel_l: list = []
+    for g, kg in enumerate(p.sell_ks):
+        ok = (
+            g < len(p.sell_rel) and p.sell_rel[g] is not None
+            and np_dtype.itemsize in (2, 4)
+            and _sk.group_vmem_ok(cw, kg, np_dtype.itemsize)
+        )
+        ws_l.append(p.sell_ws[g] if ok else None)
+        rel_l.append(p.sell_rel[g] if ok else None)
+    return dataclasses.replace(
+        p,
+        dense_flat_=None,
+        plan_dtype=np_dtype.name,
+        dia=None if p.dia is None else cast(p.dia),
+        sell_dense=tuple(cast(d) for d in p.sell_dense),
+        ovf_dense=tuple(cast(d) for d in p.ovf_dense),
+        sell_ws=tuple(ws_l),
+        sell_rel=tuple(rel_l),
     )
 
 
