@@ -35,13 +35,14 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE = 8
 
 
-def _rowwise_kernel(idx_ref, x_ref, o_ref, *, nq: int, g_out: int):
-    x = x_ref[...]                                   # (TILE, W)
+def _rowwise_kernel(idx_ref, x_ref, o_ref, *, nq: int, g_out: int,
+                    tile: int):
+    x = x_ref[...]                                   # (tile, W)
     for g in range(g_out):
-        ix = idx_ref[:, g, :]                        # (TILE, 128)
+        ix = idx_ref[:, g, :]                        # (tile, 128)
         l = ix % 128
         q = ix // 128
-        acc = jnp.zeros((_TILE, 128), jnp.float32)
+        acc = jnp.zeros((tile, 128), jnp.float32)
         for qq in range(nq):
             part = jnp.take_along_axis(
                 x[:, qq * 128:(qq + 1) * 128], l, axis=1)
@@ -57,21 +58,32 @@ def rowwise_gather(x: jax.Array, idx: jax.Array, g_out: int) -> jax.Array:
     x: (R, W) f32, W a multiple of 128; idx: (R, g_out, 128) int32 in
     [0, W]. R must be a multiple of 8. Pure in-register lane shuffles:
     W/128 shuffle+select pairs per output vreg.
+
+    The grid tiles R as coarsely as VMEM allows: 8-row steps measured
+    ~0.4 us of per-step overhead on v5e (930 us for a 2304-step stage
+    whose HBM traffic prices at ~190 us), so small-W stages were
+    step-bound.
     """
     r, w = x.shape
     assert w % 128 == 0 and r % _TILE == 0, (r, w)
     nq = w // 128
-    kernel = functools.partial(_rowwise_kernel, nq=nq, g_out=g_out)
+    # largest 8-multiple row tile whose (x + idx + out) blocks fit a
+    # ~4 MB double-buffered budget
+    per_row = (w + g_out * 128 * 2) * 4
+    cap = max(8, min(64, (4 << 20) // (2 * per_row) // 8 * 8))
+    tile = next(t for t in (64, 32, 16, 8) if t <= cap and r % t == 0)
+    kernel = functools.partial(
+        _rowwise_kernel, nq=nq, g_out=g_out, tile=tile)
     return pl.pallas_call(
         kernel,
-        grid=(r // _TILE,),
+        grid=(r // tile,),
         in_specs=[
-            pl.BlockSpec((_TILE, g_out, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((tile, g_out, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, w), lambda i: (i, 0),
+            pl.BlockSpec((tile, w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TILE, g_out, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((tile, g_out, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, g_out, 128), jnp.float32),
         interpret=jax.default_backend() != "tpu",
@@ -80,46 +92,79 @@ def rowwise_gather(x: jax.Array, idx: jax.Array, g_out: int) -> jax.Array:
 
 def _window_product_kernel(
     ws_ref,                     # scalar prefetch: (tiles,) int32 starts
-    vtab_ref,                   # ANY/HBM: (1, n_pad) f32
+    pp_ref,                     # scalar prefetch: (tiles,) int32 panel id
+    nxt_ref,                    # scalar prefetch: (tiles,) int32 first
+                                #   tile of the NEXT panel (t if none)
+    vtab_ref,                   # ANY/HBM: (8, n_pad // 8) f32, tiled
     vals_ref,                   # VMEM: (TILE, 128) f32 coefficient tile
     rel_ref,                    # VMEM: (TILE, 128) int32 window-relative
     o_ref,                      # VMEM: (TILE, 128) f32 products
-    win_ref,                    # scratch (2, 1, W) f32
+    win_ref,                    # scratch (2, 8, w // 8) f32
     sem_ref,
     *,
     w: int,
 ):
+    # Window layout (round 5): the original (2, 1, w) scratch gave its
+    # reads a 1-sublane layout Mosaic refuses to broadcast ("Invalid
+    # input layout", the round-4 stream tier's real-TPU failure — the
+    # kernel only ever ran in CPU interpret mode). The window now lives
+    # SUBLANE-TILED: vtab[s, c] = v[c * 8 + s], so the scratch is a
+    # proper (8, w/8) block and every op below is a proven pattern
+    # (sell_kernel's window DMA + per-row dynamic_gather). Window starts
+    # must be w-aligned so the DMA's lane offset ws/8 is provably
+    # 128-divisible (w is a multiple of 1024).
+    #
+    # DMA cadence: ONE window fetch per PANEL, not per tile — all of a
+    # panel's tiles read the same resident window (slot = panel parity,
+    # double-buffered: the next panel's fetch is issued at the current
+    # panel's first tile, so it overlaps the whole panel's compute).
+    # Per-tile fetches measured DMA-latency-bound on web256k: 2304
+    # tiles x ~2 us serialized against ~0.5 us of compute.
     t = pl.program_id(0)
-    nt = pl.num_programs(0)
+    w8 = w // 8
 
     def dma(slot, tile):
         return pltpu.make_async_copy(
-            vtab_ref.at[:, pl.ds(pl.multiple_of(ws_ref[tile], 128), w)],
+            vtab_ref.at[:, pl.ds(
+                pl.multiple_of(ws_ref[tile] // 8, 128), w8)],
             win_ref.at[slot],
             sem_ref.at[slot],
         )
 
+    pid = pp_ref[t]
+    first = jnp.logical_or(t == 0, pp_ref[jnp.maximum(t - 1, 0)] != pid)
+
     @pl.when(t == 0)
     def _():
-        dma(0, 0).start()
+        dma(pid % 2, t).start()
 
-    dma(t % 2, t).wait()
-
-    @pl.when(t + 1 < nt)
+    @pl.when(first & (nxt_ref[t] > t))
     def _():
-        dma((t + 1) % 2, t + 1).start()
+        dma((pid + 1) % 2, nxt_ref[t]).start()
 
-    win = win_ref[t % 2]                              # (1, W)
+    @pl.when(first)
+    def _():
+        dma(pid % 2, t).wait()
+
+    win = win_ref[pid % 2]                            # (8, w8)
     rel = rel_ref[...]                                # (TILE, 128)
-    l = rel % 128
-    q = rel // 128
+    sub = rel % 8                                     # window sublane
+    lc = rel // 8                                     # window lane col
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (_TILE, 128), 0)
     vseg = jnp.zeros((_TILE, 128), jnp.float32)
-    for qq in range(w // 128):
-        part = jnp.take_along_axis(
-            jnp.broadcast_to(win[:, qq * 128:(qq + 1) * 128],
-                             (_TILE, 128)),
-            l, axis=1)
-        vseg = jnp.where(q == qq, part, vseg)
+    for r in range(_TILE):
+        # row r's indices, shared across the 8 window sublanes: one
+        # lane shuffle per 128-lane window quarter, then one sublane
+        # shuffle picks each lane's sub row
+        lc_r = jnp.broadcast_to(lc[r:r + 1, :], (8, 128))
+        sub_r = jnp.broadcast_to(sub[r:r + 1, :], (8, 128))
+        cand = jnp.take_along_axis(win[:, :128], lc_r % 128, axis=1)
+        for qq in range(1, w8 // 128):
+            part = jnp.take_along_axis(
+                win[:, qq * 128:(qq + 1) * 128], lc_r % 128, axis=1)
+            cand = jnp.where(lc_r // 128 == qq, part, cand)
+        v_r = jnp.take_along_axis(cand, sub_r, axis=0)
+        vseg = jnp.where(row_iota == r, v_r, vseg)
     o_ref[...] = vals_ref[...].astype(jnp.float32) * vseg
 
 
@@ -127,34 +172,43 @@ def _window_product_kernel(
 def window_product(
     vals: jax.Array,            # (R, 128) f32/bf16 coefficients
     rel: jax.Array,             # (R, 128) int32, window-relative, [0, w)
-    ws: jax.Array,              # (R // 8,) int32 128-aligned starts
-    vtab: jax.Array,            # (n_pad,) f32, n_pad >= max(ws) + w
+    ws: jax.Array,              # (R // 8,) int32 w-ALIGNED starts
+    pp: jax.Array,              # (R // 8,) int32 panel ordinal per tile
+    nxt: jax.Array,             # (R // 8,) int32 first tile of the next
+                                #   panel (own index in the last panel)
+    vtab: jax.Array,            # (n_pad,) f32, n_pad >= max(ws) + w,
+                                #   n_pad a multiple of 1024
     w: int = 1024,
 ) -> jax.Array:
     """products[r, l] = vals[r, l] * vtab[ws[r//8] + rel[r, l]].
 
     The stream tier's v-gather: each 8-row tile's sources live in one
-    w-scalar window (the plan guarantees it); the window is DMAed once
-    per tile (double-buffered) and every lane resolves with the quarter
-    select chain. Padding slots carry rel == 0 and vals == 0, so the
-    gathered lane is multiplied away.
+    w-scalar window (the plan guarantees it; starts are w-aligned
+    panels shared by all the panel's tiles); the window is DMAed once
+    per PANEL (double-buffered by panel parity) and every lane resolves
+    with a lane shuffle + sublane shuffle pair. Padding slots carry
+    rel == 0 and vals == 0, so the gathered lane is multiplied away.
     """
     r = vals.shape[0]
     assert r % _TILE == 0 and vals.shape[1] == 128
+    assert w % 1024 == 0, w
+    assert vtab.shape[0] % 1024 == 0, vtab.shape
+    # sublane-tiled view: vtab2[s, c] = vtab[c * 8 + s]
+    vtab2 = vtab.reshape(-1, 8).T
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(r // _TILE,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((_TILE, 128), lambda t, ws_: (t, 0),
+            pl.BlockSpec((_TILE, 128), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, 128), lambda t, ws_: (t, 0),
+            pl.BlockSpec((_TILE, 128), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TILE, 128), lambda t, ws_: (t, 0),
+        out_specs=pl.BlockSpec((_TILE, 128), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 1, w), jnp.float32),
+            pltpu.VMEM((2, 8, w // 8), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -164,4 +218,4 @@ def window_product(
         out_shape=jax.ShapeDtypeStruct((r, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=jax.default_backend() != "tpu",
-    )(ws, vtab.reshape(1, -1), vals, rel)
+    )(ws, pp, nxt, vtab2, vals, rel)

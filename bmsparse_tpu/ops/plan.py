@@ -45,7 +45,7 @@ from .pallas import sell_kernel as _sk
 # Bump whenever prepare()'s output layout/semantics change — disk-cached
 # plan dumps (io/binary.save_prepared) are stamped with this and refuse
 # to load across layout changes.
-PLAN_LAYOUT_VERSION = 5
+PLAN_LAYOUT_VERSION = 8
 
 SELL_C = 128                 # lanes per chunk = VPU lane width
 DIA_MIN_FILL = 0.15          # min diagonal fill to justify a dense pass
@@ -449,7 +449,8 @@ def _choose_diagonals(
 
 
 def prepare(m: BmSparse, dtype=None, force_layout=None,
-            col_shift: int = 0, sell_unit: int | None = None) -> Prepared:
+            col_shift: int = 0, sell_unit: int | None = None,
+            stream: str = "auto") -> Prepared:
     """Build the tiered execution plan (host-side numpy, once per matrix).
 
     dtype: storage dtype for the plan tiers; defaults to the matrix's
@@ -472,6 +473,12 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
     8x8 block, 64 = super-slots merging a row's blocks that share a
     64-scalar column window). None = automatic (64 when the merge factor
     reaches 2x; see the tier-2 comment).
+
+    stream: "auto" routes scattered structures to the stream tier by the
+    measured-cost model below; "force" routes every eligible sub-cap row
+    there regardless of the estimate (tests / experiments — the tier has
+    a ~0.3 ms fixed stage-3 cost, so small matrices never pick it on
+    merit); "off" disables the tier.
     """
     if isinstance(m, Prepared):
         return m
@@ -532,57 +539,91 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
     out_gather = None
     sell_rows = 0
     cw = 8
-    if (sell_unit is None and forced_groups is None and col_shift == 0
-            and len(rows)):
-        br0 = rows >> 3
-        nblk = len(np.unique(br0 * np.int64(nbc) + (cols >> 3)))
-        nwin = len(np.unique(br0 * np.int64(cdiv(nbc, 8)) + (cols >> 6)))
-        if (nblk >= 2 * nwin
-                and nwin * 512 * np_dtype.itemsize <= (2 << 30)):
-            cw = 64
-    elif sell_unit is not None:
-        cw = int(sell_unit)
     ovf_dense: list = []
     ovf_bcol: list = []
     ovf_ks: list = []
     ovf_gather = None
     ovf_rows = 0
+    stream_mode = stream
     stream = None
+    single0 = (forced_groups is None and col_shift == 0
+               and sell_unit is None)
+    nblk = nwin = 0
+    if single0 and len(rows):
+        br0 = rows >> 3
+        nblk = len(np.unique(br0 * np.int64(nbc) + (cols >> 3)))
+        nwin = len(np.unique(br0 * np.int64(cdiv(nbc, 8)) + (cols >> 6)))
     if len(rows):
-        # --- Stream-tier routing decision (round 4) -------------------
-        # Locality-free structure with ~one scalar per block (webgraph,
-        # uniform random): the block tiers read 64 dense slots per nnz
-        # and pay an XLA gather per slot (~0.14-0.3 G idx/s); the stream
-        # tier (ops/route.py) runs products + a static routing network
-        # at HBM-stream cost instead. Decided BEFORE the block sort so
-        # the scalar arrays are still aligned. Rows heavier than K_CAP
-        # stay on the SELL machinery (deep rows amortize its gathers).
-        single0 = (forced_groups is None and col_shift == 0
-                   and sell_unit is None)
+        # --- Stream-tier routing decision (rounds 4-5) ----------------
+        # The block SELL tiers read a cw*8-scalar dense slab per slot
+        # plus one XLA gather per slot; the stream tier (ops/route.py)
+        # routes individual scalars through window products + a static
+        # shuffle network at HBM-stream cost. Decided by a traffic
+        # model with measured v5e constants: XLA dynamic takes cost
+        # ~2.5 ns PER INDEX (0.3-0.4 Gidx/s — scratch/exp_gather.json),
+        # i.e. one gather index equals ~2 KB of streaming; the stream
+        # tier's cost is its table bytes. Round 4's ~1-scalar-per-block
+        # heuristic missed road networks (4.4 nnz/block, measured 3.7x
+        # slower on the block tiers than the model's stream estimate).
+        # Rows heavier than K_CAP stay on the SELL machinery (deep rows
+        # amortize its gathers). Decided BEFORE the block sort so the
+        # scalar arrays are still aligned.
         if (single0 and np_dtype.itemsize == 4 and np_dtype.kind == "f"
-                and len(rows) >= 1024
-                # cheap pre-gate on the container's own block count: a
-                # stream candidate has ~1 scalar per block (the unique()
-                # below costs seconds at blockdense's 21M scalars)
-                and len(rows) < 3 * int(m.nb)):
-            bid0 = (rows >> 3) * np.int64(cdiv(m.num_cols, cw)) + cols // cw
-            ub0 = np.unique(bid0)
-            if len(rows) < 2 * len(ub0):
-                ncu0 = cdiv(m.num_cols, cw)
-                cmask = _core_window_mask(
-                    ub0, (ub0 // ncu0).astype(np.int64),
-                    (ub0 % ncu0).astype(np.int64),
-                    max(_sk.WINDOW_UNITS - 128, 1), ncu0)
-                if (~cmask).sum() > 0.5 * len(ub0):
-                    from .route import K_CAP, build_stream_plan
+                and stream_mode != "off"
+                and (len(rows) >= 4096 or stream_mode == "force")):
+            from .route import (
+                K_CAP, build_stream_plan, stream_cost_estimate,
+            )
 
-                    rcount = np.bincount(rows, minlength=m.num_rows)
-                    hmask = (rcount > K_CAP)[rows]
+            G_NS = 2.5e-9          # measured XLA per-gather-index cost
+            BW = 819e9             # v5e HBM roofline
+            est_block = min(
+                nblk * (8 * 8 * np_dtype.itemsize / BW + G_NS),
+                nwin * (64 * 8 * np_dtype.itemsize / BW + G_NS),
+            )
+            rcount = np.bincount(rows, minlength=m.num_rows)
+            # k of the stream grid = deepest row BELOW the cap (heavier
+            # rows route to the SELL machinery) — using the raw max
+            # would bill the idx3 table for rows the stream never sees
+            under = rcount[rcount <= K_CAP]
+            k_est = int(under.max()) if len(under) else 1
+            est_stream = stream_cost_estimate(
+                len(rows), k_est, m.num_rows)
+            # 2x margin: only reroute when the model says the stream
+            # tier CLEARLY wins (slack escalation below can double its
+            # tables, and the block estimate ignores window engagement)
+            if stream_mode == "force" or 2 * est_stream < est_block:
+                hmask = (rcount > K_CAP)[rows]
+                stream = build_stream_plan(
+                    rows[~hmask], cols[~hmask], vals[~hmask],
+                    m.num_rows, m.num_cols, np_dtype)
+                # Slack escalation by ESTIMATE, not first-fit: residue
+                # runs gather+segment_sum (~11.5 ns/element measured),
+                # doubled slack grows the tables and the stage-3
+                # quarter-select chain. Rebuild at (8, 4) only when the
+                # residue it removes costs more than the growth (road's
+                # clustered lanes measured 14% residue at the default
+                # slack, webgraphs ~1.5% — only the former justifies
+                # bigger tables).
+                res0 = int(stream.res_rows.shape[0])
+                RES_NS = 11.5e-9
+                added = (stream_cost_estimate(
+                    len(rows), k_est, m.num_rows, s2=8, s3=4)
+                    - stream_cost_estimate(len(rows), k_est, m.num_rows))
+                if res0 * RES_NS > added:
                     stream = build_stream_plan(
                         rows[~hmask], cols[~hmask], vals[~hmask],
-                        m.num_rows, m.num_cols, np_dtype)
-                    rows, cols, vals = (
-                        rows[hmask], cols[hmask], vals[hmask])
+                        m.num_rows, m.num_cols, np_dtype, s2=8, s3=4)
+                rows, cols, vals = (
+                    rows[hmask], cols[hmask], vals[hmask])
+    # slot granularity for the block tiers (after the stream split:
+    # stream leftovers are a few deep scattered rows — keep cw = 8)
+    if sell_unit is not None:
+        cw = int(sell_unit)
+    elif single0 and len(rows) and stream is None:
+        if (nblk >= 2 * nwin
+                and nwin * 512 * np_dtype.itemsize <= (2 << 30)):
+            cw = 64
 
     if len(rows) or forced_groups:
         ncu = cdiv(m.num_cols, cw)      # column units (cw scalars each)

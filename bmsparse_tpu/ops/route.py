@@ -54,6 +54,8 @@ class StreamPlan:
     vals_grid: jax.Array        # (R1, 128) coefficients, source order
     rel_grid: jax.Array         # (R1, 128) int32 window-relative cols
     ws: jax.Array               # (R1//8,) int32 window starts (aligned)
+    pp: jax.Array               # (R1//8,) int32 panel ordinal per tile
+    nxt: jax.Array              # (R1//8,) int32 first tile of next panel
     idx2: jax.Array             # (R2, S2, 128) int32 stage-2 tables
     idx3: jax.Array             # (R3, G3, 128) int32 stage-3 tables
     res_rows: jax.Array         # (nres,) int32 fallback rows (sorted)
@@ -69,14 +71,52 @@ class StreamPlan:
     n_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
 
 
+def stream_cost_estimate(
+    nnz: int, k: int, n_rows: int, s2: int = S2, s3: int = S3,
+) -> float:
+    """Estimated per-SpMV seconds of the stream tier. Three measured v5e
+    cost components (round-5 stage profile, scratch/scatter_tpu2.out):
+    HBM bytes at 819 GB/s, Pallas grid-step overhead (~0.5 us per step
+    at 32-row tiles), and the stage-3 quarter-select compute (~10 ns per
+    (8-row block, output vreg, 128-lane quarter) unit — the term that
+    disqualifies deep/wide structures: road1M measured 13.6 ms routed
+    here vs 3.0 ms on its block tiers before this term existed).
+    Used by ops/plan.prepare to route between the block SELL tiers and
+    this tier."""
+    BW = 819e9
+    STEP = 0.5e-6
+    QSEL = 10e-9
+    nq = -(-n_rows // 128)
+    r1 = 1.35 * max(nnz, 1) / 128 + 8          # quota slack + padding
+    nsub = max(r1 / 128, 1)
+    nahi = max(-(-(-(-(k * nq) // 128)) // 128), 1)
+    g3 = nahi * s3
+    w3 = -(-nsub * s2 // 128) * 128
+    grids = r1 * 128 * 8                       # vals + rel
+    idx2 = r1 * 128 * s2 * 4
+    idx3 = 16384 * g3 * 128 * 4
+    transients = 6 * r1 * 128 * 4              # t1/a2/x3/a3 reads+writes
+    t_bytes = (grids + idx2 + idx3 + transients) / BW
+    t_steps = (r1 / 8 * 0.16e-6                # window_product tiles
+               + r1 / 32 * STEP                # stage-2 gather steps
+               + 16384 / 32 * STEP)            # stage-3 gather steps
+    t_qsel = (16384 / 8) * g3 * (w3 / 128) * QSEL
+    return t_bytes + t_steps + t_qsel
+
+
 def build_stream_plan(
     rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     n_rows: int, n_cols: int, np_dtype=np.float32,
+    s2: int = S2, s3: int = S3,
 ) -> StreamPlan:
     """Plan-time construction (host numpy, once per matrix).
 
     rows/cols are SCALAR coordinates; every row must have <= K_CAP
     entries (the caller routes heavier rows to the block-SELL tier).
+    s2/s3 override the default slack factors: locally-clustered
+    structures (road networks) collide in the stage-2/3 tables far more
+    than webgraphs — the caller escalates slack until the residue is
+    small (the tables grow linearly with slack).
     """
     nnz = len(rows)
     rows = rows.astype(np.int64)
@@ -109,7 +149,10 @@ def build_stream_plan(
     starts = []
     i = 0
     while i < nnz:
-        ws = int(sorted_cols[i]) // 128 * 128
+        # w-ALIGNED panel starts: the window_product DMA needs a lane
+        # offset provably divisible by 128 in the sublane-tiled v table,
+        # i.e. ws divisible by W_STREAM (see shuffle_kernel, round 5)
+        ws = int(sorted_cols[i]) // W_STREAM * W_STREAM
         starts.append(i)
         ws_of_group.append(ws)
         i = int(np.searchsorted(sorted_cols, ws + W_STREAM, side="left"))
@@ -120,6 +163,7 @@ def build_stream_plan(
     lane_of = dl[co]
     row_base = 0
     tile_ws = []
+    tile_pp = []
     res_mask = np.zeros((nnz,), bool)
     for gi in range(ngroups):
         s, e = starts[gi], starts[gi + 1]
@@ -137,11 +181,31 @@ def build_stream_plan(
         res_mask[s:e] = ~ok
         row_base += quota
         tile_ws.extend([ws_of_group[gi]] * (quota // 8))
+        tile_pp.extend([gi] * (quota // 8))
     r1_count = row_base
     r1_pad = max(-(-r1_count // 128) * 128, 128)
     nsub = r1_pad // 128
-    # extend tile_ws to the padded row count (windows start at 0)
-    tile_ws.extend([0] * (r1_pad // 8 - len(tile_ws)))
+    # extend to the padded row count (padding tiles form one final
+    # panel with an all-zero window at 0)
+    npanel = (tile_pp[-1] + 1) if tile_pp else 0
+    pad_tiles = r1_pad // 8 - len(tile_ws)
+    tile_ws.extend([0] * pad_tiles)
+    tile_pp.extend([npanel] * pad_tiles)
+    # first tile of the NEXT panel per tile (the tile's own index when
+    # it belongs to the last panel) — drives the kernel's one-DMA-per-
+    # panel double buffering
+    tpp = np.asarray(tile_pp, np.int64)
+    ntiles = len(tpp)
+    changes = np.nonzero(np.diff(tpp))[0] + 1        # first tile per panel
+    starts_of_panel = np.concatenate([[0], changes])
+    nxt = np.empty((ntiles,), np.int64)
+    for pi, s0 in enumerate(starts_of_panel):
+        e0 = starts_of_panel[pi + 1] if pi + 1 < len(starts_of_panel) \
+            else ntiles
+        nxt[s0:e0] = e0 if pi + 1 < len(starts_of_panel) else s0
+    # a tile in the last panel points at itself -> kernel skips prefetch
+    nxt = np.minimum(nxt, ntiles - 1)
+    nxt[tpp == tpp[-1]] = np.arange(ntiles)[tpp == tpp[-1]]
 
     # scatter coefficients / relative columns into the source grid
     vals_grid = np.zeros((r1_pad, 128), np_dtype)
@@ -170,18 +234,18 @@ def build_stream_plan(
     rank2 = np.empty((len(key2),), np.int64)
     rank2[o2] = np.arange(len(key2)) - np.searchsorted(
         key2[o2], key2[o2])
-    fit2 = rank2 < S2
-    idx2 = np.full((r2, S2, 128), 128, np.int32)
+    fit2 = rank2 < s2
+    idx2 = np.full((r2, s2, 128), 128, np.int32)
     idx2[(e_l * nsub + e_sub)[fit2], rank2[fit2], e_b[fit2]] = \
         e_srclane[fit2]
 
     # ---- stage 3: (l, b) slabs -> (ahi, amod), slack S3 ----------------
     # element position after the T2 swap: slab l*128 + b,
     # column sub * S2 + rank2
-    g3 = nahi * S3
-    w3 = -(-(nsub * S2) // 128) * 128
+    g3 = nahi * s3
+    w3 = -(-(nsub * s2) // 128) * 128
     slab = e_l * 128 + e_b
-    c3 = e_sub * S2 + rank2
+    c3 = e_sub * s2 + rank2
     key3 = (slab * nahi + e_ahi) * 128 + e_amod
     valid3 = fit2
     key3m = np.where(valid3, key3, np.int64(-1))
@@ -189,9 +253,9 @@ def build_stream_plan(
     rank3 = np.empty((len(key3m),), np.int64)
     rank3[o3] = np.arange(len(key3m)) - np.searchsorted(
         key3m[o3], key3m[o3])
-    fit3 = valid3 & (rank3 < S3)
+    fit3 = valid3 & (rank3 < s3)
     idx3 = np.full((16384, g3, 128), w3, np.int32)
-    idx3[slab[fit3], (e_ahi * S3 + rank3)[fit3], e_amod[fit3]] = \
+    idx3[slab[fit3], (e_ahi * s3 + rank3)[fit3], e_amod[fit3]] = \
         c3[fit3].astype(np.int32)
 
     # ---- residue: anything that missed a slack slot --------------------
@@ -205,11 +269,14 @@ def build_stream_plan(
 
     vtab_len = max(int(max(ws_of_group, default=0)) + W_STREAM,
                    W_STREAM)
+    vtab_len = -(-vtab_len // 1024) * 1024
 
     return StreamPlan(
         vals_grid=jnp.asarray(vals_grid),
         rel_grid=jnp.asarray(rel_grid),
         ws=jnp.asarray(np.asarray(tile_ws, np.int32)),
+        pp=jnp.asarray(tpp.astype(np.int32)),
+        nxt=jnp.asarray(nxt.astype(np.int32)),
         idx2=jnp.asarray(idx2),
         idx3=jnp.asarray(idx3),
         res_rows=jnp.asarray(res_rows),
@@ -226,19 +293,23 @@ def stream_apply(p: StreamPlan, vpad: jax.Array) -> jax.Array:
     vpad: (>= num_cols,) f32 dense vector (zero-padded).
     """
     vtab = jnp.zeros((p.vtab_len,), jnp.float32)
-    vtab = vtab.at[: vpad.shape[0]].set(vpad.astype(jnp.float32))
+    nfill = min(p.vtab_len, vpad.shape[0])
+    vtab = vtab.at[:nfill].set(vpad[:nfill].astype(jnp.float32))
 
-    a1 = window_product(p.vals_grid, p.rel_grid, p.ws, vtab, w=p.w)
+    s2 = p.idx2.shape[1]
+    s3 = p.idx3.shape[1] // p.nahi
+    a1 = window_product(
+        p.vals_grid, p.rel_grid, p.ws, p.pp, p.nxt, vtab, w=p.w)
     t1 = a1.T.reshape(128 * p.nsub, 128)              # (l, sub) rows
-    a2 = rowwise_gather(t1, p.idx2, S2)               # (R2, S2, 128)
-    a2v = a2.reshape(128, p.nsub, S2, 128)
-    x3 = jnp.transpose(a2v, (0, 3, 1, 2)).reshape(16384, p.nsub * S2)
+    a2 = rowwise_gather(t1, p.idx2, s2)               # (R2, s2, 128)
+    a2v = a2.reshape(128, p.nsub, s2, 128)
+    x3 = jnp.transpose(a2v, (0, 3, 1, 2)).reshape(16384, p.nsub * s2)
     if x3.shape[1] < p.w3:
         x3 = jnp.concatenate(
             [x3, jnp.zeros((16384, p.w3 - x3.shape[1]), x3.dtype)],
             axis=1)
-    a3 = rowwise_gather(x3, p.idx3, p.nahi * S3)      # (16384, G3, 128)
-    f = a3.reshape(128, 128, p.nahi, S3, 128).sum(axis=3)
+    a3 = rowwise_gather(x3, p.idx3, p.nahi * s3)      # (16384, G3, 128)
+    f = a3.reshape(128, 128, p.nahi, s3, 128).sum(axis=3)
     grid = jnp.transpose(f, (2, 3, 1, 0)).reshape(-1, 128)
     grid = grid[: p.k * p.nq]
     u = grid.reshape(p.k, p.nq, 128).sum(axis=0).reshape(-1)

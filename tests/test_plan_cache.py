@@ -61,7 +61,7 @@ def test_save_load_stream_tier(tmp_path):
 
     rows, cols, vals, shape = tm.webgraph(4096, avg_deg=6, seed=9)
     m = coo_to_bmsparse(rows, cols, vals, shape, backend="host")
-    p = prepare(m)
+    p = prepare(m, stream="force")
     assert p.stream is not None
     v = np.random.default_rng(2).standard_normal(shape[1]).astype(
         np.float32)
