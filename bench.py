@@ -445,28 +445,34 @@ def main():
             nbc, cnnz = p.num_c_blocks, p.num_c_nnz
             nbc_pad = p.nbc_pad
 
-            def plan_step(cs):
+            def plan_step(cs, keys_tbl):
                 import jax as _jax
                 outs = sg._plan_sell_device(
                     cs, jnp.int32(p.num_alive), jnp.int32(p.num_c_blocks),
-                    nbc_pad, p.keys_tbl)
+                    nbc_pad, keys_tbl)
                 dep = sum(jnp.sum(o).astype(jnp.int32)
                           for o in _jax.tree_util.tree_leaves(outs))
                 return cs ^ (dep >> 30)
 
-            t_plan = time_chain(plan_step, p.c_seg, iters=10)
+            # plan data goes through args, never closures: closed-over
+            # device arrays become HLO constants and the remote compiler
+            # rejects >~100 MB programs (fem1M's 6.4M-task tables hit
+            # HTTP 413 exactly this way)
+            t_plan = time_chain(plan_step, p.c_seg, iters=10,
+                                args=(p.keys_tbl,))
 
             ks = tuple(kg for kg, _, _ in p.groups)
 
-            def num_step(af, bf):
+            def num_step(af, bf, tas, tbs, sig_st, win_starts, g_tbl,
+                         pws):
                 # af is the loop carry, so the whole stage depends on it
                 # (no hoisting); the return folds the FULL cv back into
                 # the carry — a single-element dependence lets XLA
                 # dead-code-eliminate most of the numeric phase (measured!)
                 cv = sg._numeric_stage(
-                    af, bf, p.tas, p.tbs,
-                    p.sig_st[0], p.sig_st[1], p.sig_st[2],
-                    p.win_starts, p.g_tbl, p.pws,
+                    af, bf, tas, tbs,
+                    sig_st[0], sig_st[1], sig_st[2],
+                    win_starts, g_tbl, pws,
                     tuple(p.groups), impl, p.nnz_pad,
                     win=p.win, compress=p.compress_mode,
                     pwin=p.pwin, nba_pad=p.nba_pad, nbb_pad=p.nbb_pad)
@@ -474,12 +480,14 @@ def main():
                     jnp.sum(cv) * jnp.float32(1e-30)
                 ).astype(af.dtype)
 
+            num_args = (p.tas, p.tbs, p.sig_st, p.win_starts, p.g_tbl,
+                        p.pws)
             if time_left() < 60:
                 log(f"SpGEMM {name}: sym={t_sym*1e3:.2f}ms, num skipped "
                     "(bench budget)")
                 return
             t_num = time_chain(num_step, p.a_flat, iters=10,
-                               args=(p.b_flat,))
+                               args=(p.b_flat,) + num_args)
             t_dev = t_sym + t_plan + t_num
             gnnz = cnnz / t_dev / 1e9
             min_bytes = rl.spgemm_min_bytes(
@@ -510,7 +518,7 @@ def main():
                 af16 = p.a_flat.astype(jnp.bfloat16)
                 bf16 = p.b_flat.astype(jnp.bfloat16)
                 t16 = time_chain(num_step, af16, iters=10,
-                                 args=(bf16,))
+                                 args=(bf16,) + num_args)
                 log(f"SpGEMM {name} [bf16 tiles]: num={t16*1e3:.2f}ms")
                 detail["spgemm"][name]["num_bf16_seconds"] = t16
         except Exception as e:
@@ -522,14 +530,18 @@ def main():
             from bmsparse_tpu import get_config, set_config
             if get_config().spgemm_winkernel != "off":
                 # a window-kernel compile failure must not cost the
-                # whole case (or the cases after it) — disable and
-                # retry this one once
+                # whole case — disable and retry this one once, then
+                # RESTORE the config (round-5 seed run: a leaked "off"
+                # silently demoted every case after the failing one)
                 log("disabling the Pallas window kernel and retrying")
+                prev = get_config().spgemm_winkernel
                 set_config(spgemm_winkernel="off")
                 try:
                     bench_spgemm(name, m, impl=impl, e2e_only=e2e_only)
                 except Exception as e2:  # pragma: no cover
                     log(f"SpGEMM {name} retry failed: {e2}")
+                finally:
+                    set_config(spgemm_winkernel=prev)
 
     # priority schedule (round-3 reorder, VERDICT r2 #9): cheap
     # high-value phase chains FIRST so the driver-captured artifact
