@@ -1328,6 +1328,14 @@ def _plan_pallas_windows(groups, amin_c, amax_c, bmin_c, bmax_c,
                 continue
             if window_vmem_bytes(wa, wb, itemsize) > _VMEM_WINDOW_BUDGET:
                 continue
+            # Mosaic compile crash, bisected on v5e (round 5,
+            # scratch/winbisect*.out): a kg == 1 instantiation with
+            # wa + wb > 6144 kills the compile helper with no
+            # diagnostic (kg >= 2 compiles at the same windows, and
+            # kg == 1 compiles at wa + wb <= 6144). fem1M's K=1 group
+            # hit this; keep such groups on the XLA slab windows.
+            if kg == 1 and wa + wb > 6144:
+                continue
             # nba_pad/wa are 128-multiples, so the clip keeps alignment
             wsa = np.clip(aa_t, 0, nba_pad - wa)
             wsb = np.clip(ab_t, 0, nbb_pad - wb)
