@@ -150,21 +150,27 @@ def _window_product_kernel(
     rel = rel_ref[...]                                # (TILE, 128)
     sub = rel % 8                                     # window sublane
     lc = rel // 8                                     # window lane col
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (_TILE, 128), 0)
+    # Iterate over the 8 WINDOW SUBLANES broadcasting DATA (round 5b),
+    # not over the 8 tile rows broadcasting indices: the whole tile's
+    # lane indices feed ONE take_along_axis per (sublane, quarter), and
+    # the per-row sublane dynamic_gather (which Mosaic lowers to a
+    # compare/select ladder) disappears — ~3x fewer vector ops per tile
+    # on w=1024 windows. The broadcast source is a STATIC row slice of
+    # a properly (8, w8)-tiled scratch (a plain sublane broadcast), not
+    # the (1, w) dynamic read that broke round 4's kernel on Mosaic.
+    lcq = lc % 128
     vseg = jnp.zeros((_TILE, 128), jnp.float32)
-    for r in range(_TILE):
-        # row r's indices, shared across the 8 window sublanes: one
-        # lane shuffle per 128-lane window quarter, then one sublane
-        # shuffle picks each lane's sub row
-        lc_r = jnp.broadcast_to(lc[r:r + 1, :], (8, 128))
-        sub_r = jnp.broadcast_to(sub[r:r + 1, :], (8, 128))
-        cand = jnp.take_along_axis(win[:, :128], lc_r % 128, axis=1)
+    for s in range(8):
+        cand = jnp.take_along_axis(
+            jnp.broadcast_to(win[s:s + 1, :128], (_TILE, 128)),
+            lcq, axis=1)
         for qq in range(1, w8 // 128):
             part = jnp.take_along_axis(
-                win[:, qq * 128:(qq + 1) * 128], lc_r % 128, axis=1)
-            cand = jnp.where(lc_r // 128 == qq, part, cand)
-        v_r = jnp.take_along_axis(cand, sub_r, axis=0)
-        vseg = jnp.where(row_iota == r, v_r, vseg)
+                jnp.broadcast_to(
+                    win[s:s + 1, qq * 128:(qq + 1) * 128], (_TILE, 128)),
+                lcq, axis=1)
+            cand = jnp.where(lc // 128 == qq, part, cand)
+        vseg = jnp.where(sub == s, cand, vseg)
     o_ref[...] = vals_ref[...].astype(jnp.float32) * vseg
 
 

@@ -45,7 +45,7 @@ from .pallas import sell_kernel as _sk
 # Bump whenever prepare()'s output layout/semantics change — disk-cached
 # plan dumps (io/binary.save_prepared) are stamped with this and refuse
 # to load across layout changes.
-PLAN_LAYOUT_VERSION = 8
+PLAN_LAYOUT_VERSION = 9
 
 SELL_C = 128                 # lanes per chunk = VPU lane width
 DIA_MIN_FILL = 0.15          # min diagonal fill to justify a dense pass

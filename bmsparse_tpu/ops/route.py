@@ -129,7 +129,34 @@ def build_stream_plan(
     krank = np.arange(nnz) - np.searchsorted(rows, rows)
     kmax = int(krank.max()) + 1 if nnz else 1
     assert kmax <= K_CAP, kmax
+    # Depth cap (round 5b): the grid's K axis is sized by the DEEPEST
+    # stream row, but the stage-3 tables and the final K-sum are billed
+    # on every row — web256k's kmax=23 tail (p99 depth is 15) forced
+    # nahi=3 where depth 16 fits nahi=2, ~70 MB of idx3/a3 traffic and
+    # a third of the quarter-select compute for 0.08% of the elements.
+    # Pick the cap by the same cost model that routes matrices here:
+    # table cost at depth k plus residue cost for the overflow ranks.
     k = kmax
+    if nnz:
+        depth = np.bincount(rows)
+        depth = depth[depth > 0]
+        RES_NS = 11.5e-9
+        best, best_cost = kmax, None
+        for kc in range(max(int(np.percentile(depth, 90)), 1), kmax + 1):
+            ovf = int(np.maximum(depth - kc, 0).sum())
+            cost = stream_cost_estimate(
+                nnz - ovf, kc, n_rows, s2, s3) + ovf * RES_NS
+            if best_cost is None or cost < best_cost:
+                best, best_cost = kc, cost
+        k = best
+    deep = krank >= k
+    deep_rows = rows[deep].astype(np.int32)
+    deep_cols = cols[deep].astype(np.int32)
+    deep_vals = vals[deep]
+    if deep.any():
+        rows, cols, vals = rows[~deep], cols[~deep], vals[~deep]
+        krank = krank[~deep]
+        nnz = len(rows)
     nq = -(-n_rows // 128)
     dr = krank * np.int64(nq) + rows // 128      # dest row in (k*nq, 128)
     dl = (rows % 128).astype(np.int64)           # dest lane
@@ -168,9 +195,17 @@ def build_stream_plan(
     for gi in range(ngroups):
         s, e = starts[gi], starts[gi + 1]
         m = e - s
-        quota = -(-m // 128) + EXTRA_ROWS
-        quota = -(-quota // 8) * 8              # tiles share one window
         lanes = lane_of[s:e]
+        # Row quota from the group's actual WORST lane, not the mean:
+        # round 4's ceil(m/128)+4 left every lane beyond mean+4 in the
+        # residue (web256k: 25.7k of its 31k residue elements). Exact
+        # max costs +23% grid rows on web256k and zeroes the stage-1
+        # residue; a cap keeps one pathological hot lane (hub rows
+        # sharing row%128 inside one window) from padding the whole
+        # group's rows — its tail overflows to the residue as before.
+        maxlane = int(np.bincount(lanes, minlength=128).max()) if m else 0
+        quota = min(maxlane, 2 * (-(-m // 128)) + 4 * EXTRA_ROWS)
+        quota = max(-(-quota // 8) * 8, 8)      # tiles share one window
         # j-th slot of each lane -> row j (within the group)
         order = np.lexsort((np.arange(m), lanes))
         ranks = np.empty((m,), np.int64)
@@ -183,8 +218,13 @@ def build_stream_plan(
         tile_ws.extend([ws_of_group[gi]] * (quota // 8))
         tile_pp.extend([gi] * (quota // 8))
     r1_count = row_base
-    r1_pad = max(-(-r1_count // 128) * 128, 128)
-    nsub = r1_pad // 128
+    # nsub rounded so nsub*s2 is a multiple of 128: stage-3's x3 width
+    # then equals w3 exactly and stream_apply's pad-concat (a full copy
+    # of the 16384-row stage-3 operand) vanishes. Costs a few all-zero
+    # pad rows (web256k: +8.5%), which join the final zero-window panel.
+    nsub_mult = 128 // np.gcd(s2, 128)
+    nsub = -(-max(-(-r1_count // 128), 1) // nsub_mult) * nsub_mult
+    r1_pad = nsub * 128
     # extend to the padded row count (padding tiles form one final
     # panel with an all-zero window at 0)
     npanel = (tile_pp[-1] + 1) if tile_pp else 0
@@ -258,14 +298,16 @@ def build_stream_plan(
     idx3[slab[fit3], (e_ahi * s3 + rank3)[fit3], e_amod[fit3]] = \
         c3[fit3].astype(np.int32)
 
-    # ---- residue: anything that missed a slack slot --------------------
+    # ---- residue: depth-cap overflow + anything that missed a slot ----
     res_mask[np.nonzero(okm)[0][~fit3]] = True
     res_ids = co[res_mask]                        # original order ids
-    rr = rows[res_ids].astype(np.int32)
+    rr = np.concatenate([rows[res_ids].astype(np.int32), deep_rows])
+    rc = np.concatenate([cols[res_ids].astype(np.int32), deep_cols])
+    rv = np.concatenate([vals[res_ids], deep_vals])
     rorder = np.argsort(rr, kind="stable")
     res_rows = rr[rorder]
-    res_cols = cols[res_ids].astype(np.int32)[rorder]
-    res_vals = vals[res_ids][rorder]
+    res_cols = rc[rorder]
+    res_vals = rv[rorder]
 
     vtab_len = max(int(max(ws_of_group, default=0)) + W_STREAM,
                    W_STREAM)
