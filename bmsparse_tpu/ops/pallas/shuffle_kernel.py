@@ -31,8 +31,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# rows of x processed per grid step
+# rows of x processed per grid step (rowwise_gather's minimum tile)
 _TILE = 8
+# window_product rows per grid step: 8-row steps measured step-bound on
+# web256k (3072 steps x ~0.16 us against ~0.5 us of vector compute);
+# 32-row steps amortize the grid overhead 4x. Must match route.TILE_R
+# (panel quotas are rounded to it so a step never straddles a panel).
+_WTILE = 32
 
 
 def _rowwise_kernel(idx_ref, x_ref, o_ref, *, nq: int, g_out: int,
@@ -68,10 +73,15 @@ def rowwise_gather(x: jax.Array, idx: jax.Array, g_out: int) -> jax.Array:
     assert w % 128 == 0 and r % _TILE == 0, (r, w)
     nq = w // 128
     # largest 8-multiple row tile whose (x + idx + out) blocks fit a
-    # ~4 MB double-buffered budget
+    # ~16 MB double-buffered budget. Tiles were capped at 64 rows
+    # through round 5b; the resulting ~128-256 KB DMAs measured only
+    # ~180 GB/s effective on v5e (stage-2 profile,
+    # scratch/stream_profile.py) — 256-row tiles quadruple the DMA
+    # grain and cut the grid-step overhead 4x.
     per_row = (w + g_out * 128 * 2) * 4
-    cap = max(8, min(64, (4 << 20) // (2 * per_row) // 8 * 8))
-    tile = next(t for t in (64, 32, 16, 8) if t <= cap and r % t == 0)
+    cap = max(8, min(256, (16 << 20) // (2 * per_row) // 8 * 8))
+    tile = next(
+        t for t in (256, 128, 64, 32, 16, 8) if t <= cap and r % t == 0)
     kernel = functools.partial(
         _rowwise_kernel, nq=nq, g_out=g_out, tile=tile)
     return pl.pallas_call(
@@ -159,15 +169,15 @@ def _window_product_kernel(
     # a properly (8, w8)-tiled scratch (a plain sublane broadcast), not
     # the (1, w) dynamic read that broke round 4's kernel on Mosaic.
     lcq = lc % 128
-    vseg = jnp.zeros((_TILE, 128), jnp.float32)
+    vseg = jnp.zeros((_WTILE, 128), jnp.float32)
     for s in range(8):
         cand = jnp.take_along_axis(
-            jnp.broadcast_to(win[s:s + 1, :128], (_TILE, 128)),
+            jnp.broadcast_to(win[s:s + 1, :128], (_WTILE, 128)),
             lcq, axis=1)
         for qq in range(1, w8 // 128):
             part = jnp.take_along_axis(
                 jnp.broadcast_to(
-                    win[s:s + 1, qq * 128:(qq + 1) * 128], (_TILE, 128)),
+                    win[s:s + 1, qq * 128:(qq + 1) * 128], (_WTILE, 128)),
                 lcq, axis=1)
             cand = jnp.where(lc // 128 == qq, part, cand)
         vseg = jnp.where(sub == s, cand, vseg)
@@ -178,40 +188,40 @@ def _window_product_kernel(
 def window_product(
     vals: jax.Array,            # (R, 128) f32/bf16 coefficients
     rel: jax.Array,             # (R, 128) int32, window-relative, [0, w)
-    ws: jax.Array,              # (R // 8,) int32 w-ALIGNED starts
-    pp: jax.Array,              # (R // 8,) int32 panel ordinal per tile
-    nxt: jax.Array,             # (R // 8,) int32 first tile of the next
-                                #   panel (own index in the last panel)
+    ws: jax.Array,              # (R // _WTILE,) int32 w-ALIGNED starts
+    pp: jax.Array,              # (R // _WTILE,) int32 panel id per tile
+    nxt: jax.Array,             # (R // _WTILE,) int32 first tile of the
+                                #   next panel (own index in the last)
     vtab: jax.Array,            # (n_pad,) f32, n_pad >= max(ws) + w,
                                 #   n_pad a multiple of 1024
     w: int = 1024,
 ) -> jax.Array:
     """products[r, l] = vals[r, l] * vtab[ws[r//8] + rel[r, l]].
 
-    The stream tier's v-gather: each 8-row tile's sources live in one
-    w-scalar window (the plan guarantees it; starts are w-aligned
+    The stream tier's v-gather: each _WTILE-row tile's sources live in
+    one w-scalar window (the plan guarantees it; starts are w-aligned
     panels shared by all the panel's tiles); the window is DMAed once
     per PANEL (double-buffered by panel parity) and every lane resolves
     with a lane shuffle + sublane shuffle pair. Padding slots carry
     rel == 0 and vals == 0, so the gathered lane is multiplied away.
     """
     r = vals.shape[0]
-    assert r % _TILE == 0 and vals.shape[1] == 128
+    assert r % _WTILE == 0 and vals.shape[1] == 128
     assert w % 1024 == 0, w
     assert vtab.shape[0] % 1024 == 0, vtab.shape
     # sublane-tiled view: vtab2[s, c] = vtab[c * 8 + s]
     vtab2 = vtab.reshape(-1, 8).T
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(r // _TILE,),
+        grid=(r // _WTILE,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((_TILE, 128), lambda t, *_: (t, 0),
+            pl.BlockSpec((_WTILE, 128), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, 128), lambda t, *_: (t, 0),
+            pl.BlockSpec((_WTILE, 128), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TILE, 128), lambda t, *_: (t, 0),
+        out_specs=pl.BlockSpec((_WTILE, 128), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 8, w // 8), jnp.float32),

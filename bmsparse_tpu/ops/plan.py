@@ -45,7 +45,7 @@ from .pallas import sell_kernel as _sk
 # Bump whenever prepare()'s output layout/semantics change — disk-cached
 # plan dumps (io/binary.save_prepared) are stamped with this and refuse
 # to load across layout changes.
-PLAN_LAYOUT_VERSION = 9
+PLAN_LAYOUT_VERSION = 10
 
 SELL_C = 128                 # lanes per chunk = VPU lane width
 DIA_MIN_FILL = 0.15          # min diagonal fill to justify a dense pass
@@ -599,21 +599,22 @@ def prepare(m: BmSparse, dtype=None, force_layout=None,
                     m.num_rows, m.num_cols, np_dtype)
                 # Slack escalation by ESTIMATE, not first-fit: residue
                 # runs gather+segment_sum (~11.5 ns/element measured),
-                # doubled slack grows the tables and the stage-3
-                # quarter-select chain. Rebuild at (8, 4) only when the
-                # residue it removes costs more than the growth (road's
-                # clustered lanes measured 14% residue at the default
-                # slack, webgraphs ~1.5% — only the former justifies
-                # bigger tables).
+                # doubled slack grows the stage-2 tables. Rebuild at
+                # s2=8 only when the residue it removes costs more than
+                # the growth (road's clustered lanes measured 14%
+                # residue at the default slack, webgraphs ~1.5% — only
+                # the former justifies bigger tables). Stage 3 is
+                # collision-free by construction (route.py S3 note), so
+                # only stage-2 slack ever escalates.
                 res0 = int(stream.res_rows.shape[0])
                 RES_NS = 11.5e-9
                 added = (stream_cost_estimate(
-                    len(rows), k_est, m.num_rows, s2=8, s3=4)
+                    len(rows), k_est, m.num_rows, s2=8)
                     - stream_cost_estimate(len(rows), k_est, m.num_rows))
                 if res0 * RES_NS > added:
                     stream = build_stream_plan(
                         rows[~hmask], cols[~hmask], vals[~hmask],
-                        m.num_rows, m.num_cols, np_dtype, s2=8, s3=4)
+                        m.num_rows, m.num_cols, np_dtype, s2=8)
                 rows, cols, vals = (
                     rows[hmask], cols[hmask], vals[hmask])
     # slot granularity for the block tiers (after the stream split:

@@ -41,7 +41,16 @@ from .pallas.shuffle_kernel import rowwise_gather, window_product
 
 W_STREAM = 1024        # v window width (scalars); 8 quarter selects
 S2 = 4                 # stage-2 slack slots per (sub-row, dest lane)
-S3 = 2                 # stage-3 slack slots per (slab row, ahi, amod)
+# Stage-3 slack (round 5c): with nq padded to a multiple of 128 the
+# destination a = krank * (nq/128) + (row//128)//128 decomposes UNIQUELY
+# into (krank, row-digit) — two elements share (slab, a) only if they
+# share the row AND the krank, which is impossible (kranks are distinct
+# within a row). Stage 3 is collision-free by construction, so one slot
+# suffices: s3=2 was pure waste (it doubled the idx3/a3 HBM traffic and
+# the stage-3 quarter-select chain — the tier's largest compute term).
+S3 = 1
+TILE_R = 32            # window_product rows per grid step (panel quota
+#                        granularity; 8-row steps measured step-bound)
 EXTRA_ROWS = 4         # per-window-group row quota beyond ceil(m/128)
 K_CAP = 64             # rows with more slots go to the block-SELL tier
 
@@ -86,8 +95,8 @@ def stream_cost_estimate(
     BW = 819e9
     STEP = 0.5e-6
     QSEL = 10e-9
-    nq = -(-n_rows // 128)
-    r1 = 1.35 * max(nnz, 1) / 128 + 8          # quota slack + padding
+    nq = -(-(-(-n_rows // 128)) // 128) * 128  # padded (see S3 note)
+    r1 = 1.45 * max(nnz, 1) / 128 + TILE_R     # quota slack + padding
     nsub = max(r1 / 128, 1)
     nahi = max(-(-(-(-(k * nq) // 128)) // 128), 1)
     g3 = nahi * s3
@@ -97,7 +106,7 @@ def stream_cost_estimate(
     idx3 = 16384 * g3 * 128 * 4
     transients = 6 * r1 * 128 * 4              # t1/a2/x3/a3 reads+writes
     t_bytes = (grids + idx2 + idx3 + transients) / BW
-    t_steps = (r1 / 8 * 0.16e-6                # window_product tiles
+    t_steps = (r1 / TILE_R * 0.4e-6            # window_product tiles
                + r1 / 32 * STEP                # stage-2 gather steps
                + 16384 / 32 * STEP)            # stage-3 gather steps
     t_qsel = (16384 / 8) * g3 * (w3 / 128) * QSEL
@@ -157,7 +166,11 @@ def build_stream_plan(
         rows, cols, vals = rows[~deep], cols[~deep], vals[~deep]
         krank = krank[~deep]
         nnz = len(rows)
-    nq = -(-n_rows // 128)
+    # nq padded to a multiple of 128: b = dr % 128 then depends on the
+    # row alone and a = dr // 128 = krank*(nq/128) + (row//128)//128
+    # decomposes uniquely -> stage 3 is collision-free at s3 = 1 (the
+    # S3 note above). Costs k * pad * 512 bytes of all-zero grid rows.
+    nq = -(-(-(-n_rows // 128)) // 128) * 128
     dr = krank * np.int64(nq) + rows // 128      # dest row in (k*nq, 128)
     dl = (rows % 128).astype(np.int64)           # dest lane
     a = dr // 128
@@ -205,7 +218,9 @@ def build_stream_plan(
         # group's rows — its tail overflows to the residue as before.
         maxlane = int(np.bincount(lanes, minlength=128).max()) if m else 0
         quota = min(maxlane, 2 * (-(-m // 128)) + 4 * EXTRA_ROWS)
-        quota = max(-(-quota // 8) * 8, 8)      # tiles share one window
+        # rounded to the kernel's TILE_R-row grid step (all of a step's
+        # rows must share one window panel)
+        quota = max(-(-quota // TILE_R) * TILE_R, TILE_R)
         # j-th slot of each lane -> row j (within the group)
         order = np.lexsort((np.arange(m), lanes))
         ranks = np.empty((m,), np.int64)
@@ -215,8 +230,8 @@ def build_stream_plan(
         r1_of[s:e] = np.where(ok, row_base + ranks, -1)
         res_mask[s:e] = ~ok
         row_base += quota
-        tile_ws.extend([ws_of_group[gi]] * (quota // 8))
-        tile_pp.extend([gi] * (quota // 8))
+        tile_ws.extend([ws_of_group[gi]] * (quota // TILE_R))
+        tile_pp.extend([gi] * (quota // TILE_R))
     r1_count = row_base
     # nsub rounded so nsub*s2 is a multiple of 128: stage-3's x3 width
     # then equals w3 exactly and stream_apply's pad-concat (a full copy
@@ -228,7 +243,7 @@ def build_stream_plan(
     # extend to the padded row count (padding tiles form one final
     # panel with an all-zero window at 0)
     npanel = (tile_pp[-1] + 1) if tile_pp else 0
-    pad_tiles = r1_pad // 8 - len(tile_ws)
+    pad_tiles = r1_pad // TILE_R - len(tile_ws)
     tile_ws.extend([0] * pad_tiles)
     tile_pp.extend([npanel] * pad_tiles)
     # first tile of the NEXT panel per tile (the tile's own index when
@@ -294,6 +309,8 @@ def build_stream_plan(
     rank3[o3] = np.arange(len(key3m)) - np.searchsorted(
         key3m[o3], key3m[o3])
     fit3 = valid3 & (rank3 < s3)
+    # the padded-nq decomposition makes stage 3 collision-free (S3 note)
+    assert nnz == 0 or not (valid3 & (rank3 > 0)).any()
     idx3 = np.full((16384, g3, 128), w3, np.int32)
     idx3[slab[fit3], (e_ahi * s3 + rank3)[fit3], e_amod[fit3]] = \
         c3[fit3].astype(np.int32)
